@@ -1,0 +1,129 @@
+"""Negacyclic NTT / inverse NTT over u64-in-uint32 lanes (device).
+
+TPU-first design: each butterfly stage is a static reshape
+``(..., k, m, 2, gap)`` plus elementwise u64 ops — no gathers, no
+bit-reversal permutation of the data (twiddle tables are stored so stage
+slices are contiguous; see ``ntt_tables.py``).  Outputs land in the standard
+"NTT form" (bit-reversed evaluation order), matching the reference's
+convention (``util/dwthandler.h:94-356``) so NTT-domain representations are
+bit-compatible.  Lazy Harvey reduction keeps values in [0, 4q) through the
+forward stages and [0, 2q) through the inverse, exactly as the reference's
+``ntt_negacyclic_harvey[_lazy]`` (``util/ntt.h:195-340``).
+
+Shapes: data is (lo, hi) uint32 pairs of shape (..., k, n); all k RNS limbs
+transform in one traced computation.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..ntt_tables import LimbTables
+from . import u64 as U
+
+U64 = U.U64
+
+
+def _bcast_k1(lo, hi):
+    """(k, 1) scalar constant -> (k, 1, 1) for stage-shaped broadcasting."""
+    return lo[:, :, None], hi[:, :, None]
+
+
+def _guard(x: U64, two_q: U64) -> U64:
+    """Reduce from [0, 4q) to [0, 2q) with one conditional subtraction."""
+    return U.select64(U.ge64(x, two_q), U.sub64(x, two_q), x)
+
+
+def _recombine(a: U64, b: U64, lead, k: int, n: int) -> U64:
+    lo = jnp.stack([a[0], b[0]], axis=-2).reshape(*lead, k, n)
+    hi = jnp.stack([a[1], b[1]], axis=-2).reshape(*lead, k, n)
+    return lo, hi
+
+
+def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
+    """Forward negacyclic NTT; input coefficients in [0, 4q).
+
+    Output in [0, q), or [0, 4q) when ``lazy`` (cf. reference
+    ``ntt_negacyclic_harvey_lazy``).
+    """
+    lo, hi = x
+    *lead, k, n = lo.shape
+    logn = int(n).bit_length() - 1
+    assert (1 << logn) == n
+    tq = _bcast_k1(t.two_q_lo, t.two_q_hi)
+    q3 = _bcast_k1(t.q_lo, t.q_hi)
+
+    for s in range(logn):
+        m = 1 << s
+        gap = n >> (s + 1)
+        shape = (*lead, k, m, 2, gap)
+        lo_r = lo.reshape(shape)
+        hi_r = hi.reshape(shape)
+        x0 = (lo_r[..., 0, :], hi_r[..., 0, :])
+        x1 = (lo_r[..., 1, :], hi_r[..., 1, :])
+        r_op = (t.fwd_op_lo[:, m : 2 * m, None], t.fwd_op_hi[:, m : 2 * m, None])
+        r_qt = (t.fwd_qt_lo[:, m : 2 * m, None], t.fwd_qt_hi[:, m : 2 * m, None])
+        u = _guard(x0, tq)
+        v = U.mul_mod_shoup_lazy(x1, r_op, r_qt, q3)
+        a = U.add64(u, v)                    # < 4q
+        b = U.sub64(U.add64(u, tq), v)       # u + 2q - v < 4q
+        lo, hi = _recombine(a, b, lead, k, n)
+
+    if not lazy:
+        two_q = (t.two_q_lo, t.two_q_hi)
+        q = (t.q_lo, t.q_hi)
+        y = _guard((lo, hi), two_q)
+        y = U.select64(U.ge64(y, q), U.sub64(y, q), y)
+        return y
+    return lo, hi
+
+
+def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
+    """Inverse negacyclic NTT with 1/n fused into the last stage.
+
+    Input in [0, 2q); output in [0, q), or [0, 2q) when ``lazy``.
+    """
+    lo, hi = x
+    *lead, k, n = lo.shape
+    logn = int(n).bit_length() - 1
+    assert (1 << logn) == n
+    tq = _bcast_k1(t.two_q_lo, t.two_q_hi)
+    q3 = _bcast_k1(t.q_lo, t.q_hi)
+
+    offset = 1
+    for s in range(logn):
+        m = n >> (s + 1)
+        gap = 1 << s
+        last = m == 1
+        shape = (*lead, k, m, 2, gap)
+        lo_r = lo.reshape(shape)
+        hi_r = hi.reshape(shape)
+        x0 = (lo_r[..., 0, :], hi_r[..., 0, :])
+        x1 = (lo_r[..., 1, :], hi_r[..., 1, :])
+        if not last:
+            r_op = (t.inv_op_lo[:, offset : offset + m, None], t.inv_op_hi[:, offset : offset + m, None])
+            r_qt = (t.inv_qt_lo[:, offset : offset + m, None], t.inv_qt_hi[:, offset : offset + m, None])
+            a = _guard(U.add64(x0, x1), tq)                      # < 2q
+            b = U.mul_mod_shoup_lazy(U.sub64(U.add64(x0, tq), x1), r_op, r_qt, q3)  # < 2q
+        else:
+            # Final stage: fuse multiplication by n^{-1} (scalar branch of
+            # the reference's transform_from_rev).
+            invn_op = _bcast_k1(t.invn_op_lo, t.invn_op_hi)
+            invn_qt = _bcast_k1(t.invn_qt_lo, t.invn_qt_hi)
+            last_op = _bcast_k1(t.invn_last_op_lo, t.invn_last_op_hi)
+            last_qt = _bcast_k1(t.invn_last_qt_lo, t.invn_last_qt_hi)
+            u = _guard(x0, tq)
+            v = x1
+            a = U.mul_mod_shoup_lazy(_guard(U.add64(u, v), tq), invn_op, invn_qt, q3)
+            b = U.mul_mod_shoup_lazy(U.sub64(U.add64(u, tq), v), last_op, last_qt, q3)
+        lo, hi = _recombine(a, b, lead, k, n)
+        offset += m
+
+    if not lazy:
+        q = (t.q_lo, t.q_hi)
+        y = (lo, hi)
+        y = U.select64(U.ge64(y, q), U.sub64(y, q), y)
+        return y
+    return lo, hi
