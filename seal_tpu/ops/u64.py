@@ -195,6 +195,22 @@ def mulhi64(x: U64, y: U64) -> U64:
     return w2, w3
 
 
+def add128(a, b):
+    """Add two u128 (4-word) values, wrapping mod 2^128."""
+    s0, c0 = _carry_add(a[0], b[0])
+    s1a, c1a = _carry_add(a[1], b[1])
+    s1, c1b = _carry_add(s1a, c0)
+    s2a, c2a = _carry_add(a[2], b[2])
+    s2, c2b = _carry_add(s2a, c1a + c1b)
+    s3 = a[3] + b[3] + c2a + c2b
+    return s0, s1, s2, s3
+
+
+def zero128(shape):
+    z = jnp.zeros(shape, dtype=jnp.uint32)
+    return z, z, z, z
+
+
 # ---------------------------------------------------------------------------
 # Modular arithmetic (reference: uintarithsmallmod.h)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,257 @@
+"""RNS base / base-converter / RNS-tool precompute (host, exact Python ints).
+
+Host counterpart of the reference's ``util/rns.{h,cpp}`` (RNSBase compose /
+decompose, BaseConverter matrices, the BEHZ RNSTool machinery).  All scalar
+constants are exact Python ints computed here once per context level; device
+bundles (uint32 word arrays) are derived lazily for the jnp/Pallas kernels in
+``ops/rns.py``.
+
+Key construction parity points (cf. ``rns.cpp:578-788``):
+  * aux primes for B, m_sk, gamma: 61-bit primes from the deterministic
+    descending ``get_primes(2n, 61, count)`` search; m_sk and gamma are the
+    first two, B the rest — identical selection order.
+  * B grows by one prime when ``32 + t.bits + log2(q) >= 61*(k+1)``.
+  * m_tilde = 2^32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import numth
+from .modulus import Modulus, INTERNAL_MOD_BIT_COUNT
+from .ntt_tables import HostNTTTables, build_limb_tables, LimbTables
+
+
+def split_u64_array(values: Sequence[int], shape=None):
+    """List of u64 ints -> (lo, hi) uint32 numpy arrays, default shape (k, 1)."""
+    a = np.array([v & 0xFFFFFFFFFFFFFFFF for v in values], dtype=np.uint64)
+    if shape is None:
+        shape = (len(values), 1)
+    a = a.reshape(shape)
+    return (a & np.uint64(0xFFFFFFFF)).astype(np.uint32), (a >> np.uint64(32)).astype(np.uint32)
+
+
+def shoup_pair(operand: int, q: int):
+    """(operand, floor(operand << 64 / q)) — a MultiplyUIntModOperand."""
+    return operand % q, ((operand % q) << 64) // q
+
+
+class HostRNSBase:
+    """CRT base with punctured products and their inverses (``RNSBase``)."""
+
+    def __init__(self, moduli: Sequence[Modulus]):
+        if not moduli:
+            raise ValueError("rnsbase cannot be empty")
+        vals = [m.value for m in moduli]
+        for i, v in enumerate(vals):
+            if v == 0:
+                raise ValueError("rnsbase is invalid")
+            for j in range(i):
+                if numth.gcd(v, vals[j]) != 1:
+                    raise ValueError("rnsbase is invalid (not coprime)")
+        self.moduli = list(moduli)
+        self.values = vals
+        self.size = len(vals)
+        self.base_prod = 1
+        for v in vals:
+            self.base_prod *= v
+        self.punctured_prod = [self.base_prod // v for v in vals]
+        self.inv_punctured = []
+        for v, p in zip(vals, self.punctured_prod):
+            ok, inv = numth.try_invert_mod(p % v, v)
+            if not ok:
+                raise ValueError("rnsbase is invalid (non-invertible)")
+            self.inv_punctured.append(inv)
+
+    def extend(self, modulus: Modulus) -> "HostRNSBase":
+        return HostRNSBase(self.moduli + [modulus])
+
+    def drop(self) -> "HostRNSBase":
+        if self.size == 1:
+            raise ValueError("cannot drop from base of size 1")
+        return HostRNSBase(self.moduli[:-1])
+
+    def decompose(self, value: int) -> List[int]:
+        return [value % v for v in self.values]
+
+    def compose(self, residues: Sequence[int]) -> int:
+        acc = 0
+        for r, inv, p, v in zip(residues, self.inv_punctured, self.punctured_prod, self.values):
+            acc = (acc + (r * inv % v) * p) % self.base_prod
+        return acc
+
+    def decompose_array(self, values: np.ndarray) -> np.ndarray:
+        """(n,) object/int array -> (k, n) uint64."""
+        out = np.zeros((self.size, len(values)), dtype=np.uint64)
+        for i, q in enumerate(self.values):
+            out[i] = np.array([int(v) % q for v in values], dtype=np.uint64)
+        return out
+
+    def compose_array(self, residues: np.ndarray) -> List[int]:
+        """(k, n) -> list of n Python ints in [0, base_prod)."""
+        k, n = residues.shape
+        return [self.compose([int(residues[i, j]) for i in range(k)]) for j in range(n)]
+
+
+class HostBaseConverter:
+    """Fast base conversion q -> p via cached change matrix (``BaseConverter``)."""
+
+    def __init__(self, ibase: HostRNSBase, obase: HostRNSBase):
+        self.ibase = ibase
+        self.obase = obase
+        # matrix[j][i] = punctured_prod_i mod p_j
+        self.matrix = [
+            [p % oj for p in ibase.punctured_prod] for oj in obase.values
+        ]
+        self._dev = None
+
+    def device(self):
+        """Device bundle: dict of uint32 arrays (built lazily, cached)."""
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            ib, ob = self.ibase, self.obase
+            inv_op, inv_qt = [], []
+            for inv, q in zip(ib.inv_punctured, ib.values):
+                o, s = shoup_pair(inv, q)
+                inv_op.append(o)
+                inv_qt.append(s)
+            mat_flat = [self.matrix[j][i] for j in range(ob.size) for i in range(ib.size)]
+            d = {}
+            d["inv_punct_op"] = tuple(map(jnp.asarray, split_u64_array(inv_op)))
+            d["inv_punct_qt"] = tuple(map(jnp.asarray, split_u64_array(inv_qt)))
+            d["matrix"] = tuple(map(jnp.asarray, split_u64_array(mat_flat, (ob.size, ib.size))))
+            d["iq"] = tuple(map(jnp.asarray, split_u64_array(ib.values)))
+            d["oq"] = tuple(map(jnp.asarray, split_u64_array(ob.values)))
+            oratio = [(1 << 128) // v for v in ob.values]
+            d["oratio_lo"] = tuple(map(jnp.asarray, split_u64_array([r & ((1 << 64) - 1) for r in oratio])))
+            d["oratio_hi"] = tuple(map(jnp.asarray, split_u64_array([r >> 64 for r in oratio])))
+            # For exact_convert: fixed-point 2^-128 reciprocal fractions of ibase
+            iratio = [(1 << 128) // v for v in ib.values]
+            d["iratio_lo"] = tuple(map(jnp.asarray, split_u64_array([r & ((1 << 64) - 1) for r in iratio])))
+            d["iratio_hi"] = tuple(map(jnp.asarray, split_u64_array([r >> 64 for r in iratio])))
+            d["q_mod_obase0"] = ib.base_prod % ob.values[0]
+            self._dev = d
+        return self._dev
+
+
+class HostRNSTool:
+    """Per-level BEHZ machinery + mod-switch constants (``RNSTool``)."""
+
+    def __init__(self, poly_modulus_degree: int, base_q: HostRNSBase, plain_modulus: Modulus):
+        n = poly_modulus_degree
+        logn = n.bit_length() - 1
+        if (1 << logn) != n:
+            raise ValueError("poly_modulus_degree must be a power of 2")
+        self.n = n
+        self.t = plain_modulus
+        self.base_q = base_q
+        k = base_q.size
+
+        total_bits = base_q.base_prod.bit_length()
+        base_B_size = k
+        if 32 + self.t.bit_count + total_bits >= INTERNAL_MOD_BIT_COUNT * k + INTERNAL_MOD_BIT_COUNT:
+            base_B_size += 1
+
+        count = base_B_size + 2  # B plus m_sk, gamma
+        primes = numth.get_primes(2 * n, INTERNAL_MOD_BIT_COUNT, count)
+        self.m_sk = Modulus(primes[0])
+        self.gamma = Modulus(primes[1])
+        base_B_primes = [Modulus(p) for p in primes[2:]]
+        self.m_tilde = Modulus(1 << 32)
+
+        self.base_B = HostRNSBase(base_B_primes)
+        self.base_Bsk = self.base_B.extend(self.m_sk)
+        self.base_Bsk_m_tilde = self.base_Bsk.extend(self.m_tilde)
+        self.base_t_gamma: Optional[HostRNSBase] = None
+        if not self.t.is_zero:
+            self.base_t_gamma = HostRNSBase([self.t, self.gamma])
+
+        # NTT tables over Bsk (for the BEHZ dyadic stage)
+        self.base_Bsk_ntt = [HostNTTTables(logn, m) for m in self.base_Bsk.moduli]
+
+        # Base converters
+        self.conv_q_to_Bsk = HostBaseConverter(base_q, self.base_Bsk)
+        self.conv_q_to_m_tilde = HostBaseConverter(base_q, HostRNSBase([self.m_tilde]))
+        self.conv_B_to_q = HostBaseConverter(self.base_B, base_q)
+        self.conv_B_to_m_sk = HostBaseConverter(self.base_B, HostRNSBase([self.m_sk]))
+        self.conv_q_to_t_gamma = None
+        self.conv_q_to_t = None
+        if self.base_t_gamma is not None:
+            self.conv_q_to_t_gamma = HostBaseConverter(base_q, self.base_t_gamma)
+            self.conv_q_to_t = HostBaseConverter(base_q, HostRNSBase([self.t]))
+
+        q_prod = base_q.base_prod
+        B_prod = self.base_B.base_prod
+        # prod(B) mod q_i
+        self.prod_B_mod_q = [B_prod % v for v in base_q.values]
+        # prod(q)^-1 mod Bsk
+        self.inv_prod_q_mod_Bsk = [numth.invert_mod(q_prod % v, v) for v in self.base_Bsk.values]
+        # prod(B)^-1 mod m_sk
+        self.inv_prod_B_mod_m_sk = numth.invert_mod(B_prod % self.m_sk.value, self.m_sk.value)
+        # m_tilde^-1 mod Bsk
+        self.inv_m_tilde_mod_Bsk = [
+            numth.invert_mod(self.m_tilde.value % v, v) for v in self.base_Bsk.values
+        ]
+        # -prod(q)^-1 mod m_tilde
+        mt = self.m_tilde.value
+        self.neg_inv_prod_q_mod_m_tilde = (-numth.invert_mod(q_prod % mt, mt)) % mt
+        # prod(q) mod Bsk
+        self.prod_q_mod_Bsk = [q_prod % v for v in self.base_Bsk.values]
+
+        if self.base_t_gamma is not None:
+            tv, gv = self.t.value, self.gamma.value
+            self.inv_gamma_mod_t = numth.invert_mod(gv % tv, tv)
+            self.prod_t_gamma_mod_q = [tv * gv % v for v in base_q.values]
+            self.neg_inv_q_mod_t_gamma = [
+                (-numth.invert_mod(q_prod % v, v)) % v for v in (tv, gv)
+            ]
+
+        # q_last^{-1} mod q_i (mod switch / rescale)
+        q_last = base_q.values[-1]
+        self.inv_q_last_mod_q = [numth.invert_mod(q_last, v) for v in base_q.values[:-1]] if k > 1 else []
+        if not self.t.is_zero:
+            self.inv_q_last_mod_t = numth.invert_mod(q_last, self.t.value)
+            self.q_last_mod_t = q_last % self.t.value
+        self._dev = None
+
+    def device(self):
+        """Lazily-built device constant dict for this tool."""
+        if self._dev is None:
+            import jax.numpy as jnp
+
+            def pairs(vals, qs):
+                ops, qts = [], []
+                for v, q in zip(vals, qs):
+                    o, s = shoup_pair(v, q)
+                    ops.append(o)
+                    qts.append(s)
+                return (
+                    tuple(map(jnp.asarray, split_u64_array(ops))),
+                    tuple(map(jnp.asarray, split_u64_array(qts))),
+                )
+
+            d = {}
+            qv = self.base_q.values
+            bskv = self.base_Bsk.values
+            d["inv_prod_q_mod_Bsk"] = pairs(self.inv_prod_q_mod_Bsk, bskv)
+            d["prod_q_mod_Bsk"] = tuple(map(jnp.asarray, split_u64_array(self.prod_q_mod_Bsk)))
+            d["inv_m_tilde_mod_Bsk"] = pairs(self.inv_m_tilde_mod_Bsk, bskv)
+            d["prod_B_mod_q"] = tuple(map(jnp.asarray, split_u64_array(self.prod_B_mod_q)))
+            d["neg_prod_B_mod_q"] = pairs([(q - p) % q for p, q in zip(self.prod_B_mod_q, qv)], qv)
+            d["prod_B_mod_q_shoup"] = pairs(self.prod_B_mod_q, qv)
+            msk = self.m_sk.value
+            d["inv_prod_B_mod_m_sk"] = pairs([self.inv_prod_B_mod_m_sk], [msk])
+            d["neg_inv_prod_q_mod_m_tilde"] = pairs([self.neg_inv_prod_q_mod_m_tilde], [self.m_tilde.value])
+            if self.inv_q_last_mod_q:
+                d["inv_q_last_mod_q"] = pairs(self.inv_q_last_mod_q, qv[:-1])
+            if self.base_t_gamma is not None:
+                tv, gv = self.t.value, self.gamma.value
+                d["prod_t_gamma_mod_q"] = pairs(self.prod_t_gamma_mod_q, qv)
+                d["neg_inv_q_mod_t_gamma"] = pairs(self.neg_inv_q_mod_t_gamma, [tv, gv])
+                d["inv_gamma_mod_t"] = pairs([self.inv_gamma_mod_t], [tv])
+            self._dev = d
+        return self._dev
