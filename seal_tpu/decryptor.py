@@ -1,0 +1,145 @@
+"""Decryptor: c(s) dot product + per-scheme decoding tail.
+
+Counterpart of ``decryptor.{h,cpp}``: NTT-domain dot product with cached
+secret-key powers (``decryptor.cpp:320-407``), then BFV's {t,gamma}
+scale-and-round, CKKS's direct NTT plaintext, or BGV's exact mod-t
+conversion with correction-factor division.  Includes
+``invariant_noise_budget`` (``decryptor.cpp:409-486``).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from . import numth
+from .context import SealContext
+from .data import Ciphertext, Plaintext, SecretKey
+from .params import PARMS_ID_ZERO, SchemeType
+from .ops import ntt as NTT
+from .ops import rns as R
+from .ops import u64 as U
+
+
+class Decryptor:
+    def __init__(self, context: SealContext, secret_key: SecretKey):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        if secret_key.parms_id != context.key_parms_id:
+            raise ValueError("secret key is not valid for encryption parameters")
+        self.context = context
+        self._sk_array: List[U.U64] = [secret_key.data]  # powers of s, NTT, key level
+
+    def _secret_key_power(self, power: int) -> U.U64:
+        cd = self.context.key_context_data()
+        t = cd.limb_tables()
+        while len(self._sk_array) < power:
+            prev = self._sk_array[-1]
+            self._sk_array.append(U.mul_mod(prev, self._sk_array[0], t.q, t.ratio_lo, t.ratio_hi))
+        return self._sk_array[power - 1]
+
+    def _dot_product_ct_sk(self, ct: Ciphertext) -> U.U64:
+        """c0 + c1*s + ... in the ciphertext's (NTT or coeff) domain."""
+        cd = self.context.get_context_data(ct.parms_id)
+        t = cd.limb_tables()
+        k = ct.coeff_modulus_size
+        size = ct.size
+        self._secret_key_power(size - 1)
+
+        acc = None
+        for j in range(1, size):
+            cj = ct.poly(j)
+            if not ct.is_ntt_form:
+                cj = NTT.ntt_forward(cj, t, lazy=True)
+            sk_j = self._sk_array[j - 1]
+            sk_j = (sk_j[0][:k], sk_j[1][:k])
+            prod = U.mul_mod(cj, sk_j, t.q, t.ratio_lo, t.ratio_hi)
+            acc = prod if acc is None else U.add_mod(acc, prod, t.q)
+        if not ct.is_ntt_form:
+            acc = NTT.ntt_inverse(acc, t)
+        return U.add_mod(acc, ct.poly(0), t.q)
+
+    def decrypt(self, ct: Ciphertext) -> Plaintext:
+        if ct.size < 2:
+            raise ValueError("encrypted is empty")
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme == SchemeType.BFV:
+            return self._bfv_decrypt(ct)
+        if scheme == SchemeType.CKKS:
+            return self._ckks_decrypt(ct)
+        if scheme == SchemeType.BGV:
+            return self._bgv_decrypt(ct)
+        raise ValueError("unsupported scheme")
+
+    def _bfv_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if ct.is_ntt_form:
+            raise ValueError("encrypted cannot be in NTT form")
+        cd = self.context.get_context_data(ct.parms_id)
+        phase = self._dot_product_ct_sk(ct)
+        out = R.decrypt_scale_and_round(phase, cd.rns_tool)
+        coeffs = U.to_np_u64(out)[0]
+        sig = np.nonzero(coeffs)[0]
+        count = int(sig[-1]) + 1 if len(sig) else 1
+        return Plaintext.from_coeffs(coeffs[:count])
+
+    def _ckks_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if not ct.is_ntt_form:
+            raise ValueError("encrypted must be in NTT form")
+        phase = self._dot_product_ct_sk(ct)
+        p = Plaintext()
+        p.parms_id = ct.parms_id
+        p.scale = ct.scale
+        p.rns_data = phase
+        return p
+
+    def _bgv_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if not ct.is_ntt_form:
+            raise ValueError("encrypted must be in NTT form")
+        cd = self.context.get_context_data(ct.parms_id)
+        t = cd.limb_tables()
+        phase = self._dot_product_ct_sk(ct)
+        phase = NTT.ntt_inverse(phase, t)
+        out = R.decrypt_modt(phase, cd.rns_tool)
+        coeffs = U.to_np_u64(out)[0]
+        tv = cd.parms.plain_modulus.value
+        if ct.correction_factor != 1:
+            fix = numth.invert_mod(ct.correction_factor, tv)
+            coeffs = np.array([int(c) * fix % tv for c in coeffs], dtype=np.uint64)
+        sig = np.nonzero(coeffs)[0]
+        count = int(sig[-1]) + 1 if len(sig) else 1
+        return Plaintext.from_coeffs(coeffs[:count])
+
+    def invariant_noise_budget(self, ct: Ciphertext) -> int:
+        """Remaining noise budget in bits (BFV/BGV; decryptor.cpp:409-486)."""
+        scheme = self.context.key_context_data().parms.scheme
+        if scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        if scheme == SchemeType.BFV and ct.is_ntt_form:
+            raise ValueError("BFV encrypted cannot be in NTT form")
+        if scheme == SchemeType.BGV and not ct.is_ntt_form:
+            raise ValueError("BGV encrypted must be in NTT form")
+        cd = self.context.get_context_data(ct.parms_id)
+        t = cd.limb_tables()
+        noise = self._dot_product_ct_sk(ct)
+        if scheme == SchemeType.BGV:
+            noise = NTT.ntt_inverse(noise, t)
+        if scheme == SchemeType.BFV:
+            from .ops.rns import _cshoup
+
+            qv = cd.coeff_modulus_values
+            tv = cd.parms.plain_modulus.value
+            op, qt = _cshoup([tv % q for q in qv], qv)
+            noise = U.mul_mod_shoup(noise, op, qt, t.q)
+        # CRT-compose and take centered infinity norm (host, exact)
+        residues = U.to_np_u64(noise)
+        q_total = cd.total_coeff_modulus
+        values = cd.base_q.compose_array(residues)
+        half = q_total >> 1
+        norm = 0
+        for v in values:
+            a = q_total - v if v > half else v
+            if a > norm:
+                norm = a
+        diff = cd.total_coeff_modulus_bit_count - norm.bit_length() - 1
+        return max(0, diff)

@@ -1,0 +1,142 @@
+"""Key generation: secret/public keys, relinearization and Galois keys.
+
+Counterpart of ``keygenerator.{h,cpp}``.  Key-switching keys follow the
+reference construction (``keygenerator.cpp:327-360``): for decomposition
+limb i, an NTT-form encryption of zero at the key level with
+``(q_last mod q_i) * target[i]`` added into c0's i-th limb — stacked here
+over the decomposition axis for the TPU key-switch contraction.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .context import SealContext
+from .data import GaloisKeys, KSwitchKeys, PublicKey, RelinKeys, SecretKey
+from .ops import ntt as NTT
+from .ops import poly as P
+from .ops import u64 as U
+from .params import SchemeType
+from .random.sampler import sample_poly_ternary
+from .rlwe import encrypt_zero_symmetric
+
+
+class KeyGenerator:
+    def __init__(self, context: SealContext, secret_key: Optional[SecretKey] = None):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        self.context = context
+        cd = context.key_context_data()
+        if secret_key is not None:
+            self._secret_key = secret_key
+            self._sk_array = [secret_key.data]  # powers of s (NTT form)
+        else:
+            parms = cd.parms
+            moduli = cd.coeff_modulus_values
+            sk_np = sample_poly_ternary(parms.random_generator.create(), parms.poly_modulus_degree, moduli)
+            sk_ntt = NTT.ntt_forward(U.from_np_u64(sk_np), cd.limb_tables())
+            self._secret_key = SecretKey(sk_ntt, cd.parms_id)
+            self._sk_array = [sk_ntt]
+
+    @property
+    def secret_key(self) -> SecretKey:
+        return self._secret_key
+
+    def _secret_key_power(self, power: int) -> U.U64:
+        """s^power in NTT form at the key level (lazily extended cache;
+        cf. compute_secret_key_array, keygenerator.cpp:237-325)."""
+        cd = self.context.key_context_data()
+        t = cd.limb_tables()
+        while len(self._sk_array) < power:
+            prev = self._sk_array[-1]
+            self._sk_array.append(U.mul_mod(prev, self._sk_array[0], t.q, t.ratio_lo, t.ratio_hi))
+        return self._sk_array[power - 1]
+
+    def create_public_key(self, save_seed: bool = False) -> PublicKey:
+        cd = self.context.key_context_data()
+        ct = encrypt_zero_symmetric(self._secret_key, self.context, cd.parms_id, True, save_seed)
+        pk = PublicKey(ct)
+        return pk
+
+    # -- key switching keys ------------------------------------------------
+    def _generate_one_kswitch_key(self, target: U.U64, save_seed: bool = False) -> dict:
+        """Encryptions of target*q_last per decomposition limb, stacked."""
+        if not self.context.using_keyswitching:
+            raise ValueError("keyswitching is not supported by the context")
+        key_cd = self.context.key_context_data()
+        key_moduli = key_cd.coeff_modulus_values
+        q_last = key_moduli[-1]
+        decomp_count = len(self.context.first_context_data().parms.coeff_modulus)
+        t = key_cd.limb_tables()
+
+        c0_list, c1_list = [], []
+        seeds = []
+        for i in range(decomp_count):
+            ct = encrypt_zero_symmetric(self._secret_key, self.context, key_cd.parms_id, True, save_seed)
+            c0, c1 = ct.poly(0), ct.poly(1)
+            # c0[limb i] += (q_last mod q_i) * target[limb i]
+            qi = key_moduli[i]
+            factor = q_last % qi
+            from .ops.rns import _cshoup
+
+            op, qt = _cshoup([factor], [qi])
+            tgt_i = (target[0][i : i + 1], target[1][i : i + 1])
+            qi_c = U.const_u64(qi, (1, 1))
+            add_term = U.mul_mod_shoup(tgt_i, op, qt, qi_c)
+            row = (c0[0][i : i + 1], c0[1][i : i + 1])
+            new_row = U.add_mod(row, add_term, qi_c)
+            c0 = (
+                c0[0].at[i : i + 1].set(new_row[0]),
+                c0[1].at[i : i + 1].set(new_row[1]),
+            )
+            c0_list.append(c0)
+            c1_list.append(c1)
+            seeds.append(ct.seed_info)
+
+        return {
+            "c0": (jnp.stack([c[0] for c in c0_list]), jnp.stack([c[1] for c in c0_list])),
+            "c1": (jnp.stack([c[0] for c in c1_list]), jnp.stack([c[1] for c in c1_list])),
+            "seeds": seeds if save_seed else None,
+        }
+
+    def create_relin_keys(self, count: int = 1, save_seed: bool = False) -> RelinKeys:
+        """Keys for s^2 .. s^{count+1} (cf. create_relin_keys_internal)."""
+        if self.context.key_context_data().parms.scheme == SchemeType.NONE:
+            raise ValueError("invalid scheme")
+        if not (1 <= count <= 14):  # CIPHERTEXT_SIZE_MAX - 2
+            raise ValueError("invalid count")
+        keys = RelinKeys()
+        keys.keys = [None] * count
+        for power in range(2, count + 2):
+            target = self._secret_key_power(power)
+            keys.keys[RelinKeys.get_index(power)] = self._generate_one_kswitch_key(target, save_seed)
+        keys.parms_id = self.context.key_parms_id
+        return keys
+
+    def create_galois_keys(self, galois_elts: Optional[Sequence[int]] = None, save_seed: bool = False) -> GaloisKeys:
+        cd = self.context.key_context_data()
+        galois_tool = cd.galois_tool
+        n = cd.parms.poly_modulus_degree
+        if galois_elts is None:
+            galois_elts = galois_tool.get_elts_all()
+        keys = GaloisKeys()
+        keys.keys = [None] * (2 * n)
+        sk = self._secret_key.data
+        for elt in galois_elts:
+            if not (elt & 1) or elt >= 2 * n:
+                raise ValueError("Galois element is not valid")
+            index = GaloisKeys.get_index(elt)
+            if keys.keys[index] is not None:
+                continue
+            table = jnp.asarray(galois_tool.ntt_table(elt))
+            rotated_sk = P.apply_galois_ntt(sk, table)
+            keys.keys[index] = self._generate_one_kswitch_key(rotated_sk, save_seed)
+        keys.parms_id = self.context.key_parms_id
+        return keys
+
+    def create_galois_keys_from_steps(self, steps: Sequence[int], save_seed: bool = False) -> GaloisKeys:
+        cd = self.context.key_context_data()
+        return self.create_galois_keys(cd.galois_tool.get_elts_from_steps(steps), save_seed)

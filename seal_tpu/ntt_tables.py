@@ -27,6 +27,17 @@ from . import numth
 from .modulus import Modulus
 
 
+_HOST_NTT_CACHE = {}
+
+
+def cached_host_ntt_tables(log_n: int, modulus: "Modulus") -> "HostNTTTables":
+    """Shared cache: tables depend only on (log_n, q), reused across levels."""
+    key = (log_n, modulus.value)
+    if key not in _HOST_NTT_CACHE:
+        _HOST_NTT_CACHE[key] = HostNTTTables(log_n, modulus)
+    return _HOST_NTT_CACHE[key]
+
+
 class HostNTTTables:
     """Exact-integer NTT tables for one (log_n, q) pair."""
 

@@ -91,27 +91,34 @@ def gcd(a: int, b: int) -> int:
     return a
 
 
+_PRIME_SEARCH_CACHE: dict = {}  # (factor, bit_size) -> [found primes..., next candidate]
+
+
 def get_primes(factor: int, bit_size: int, count: int) -> List[int]:
     """NTT-friendly primes == 1 mod factor, descending from 2^bit_size.
 
     Deterministic search identical in order to the reference
-    (``numth.cpp:278-311``) so generated parameter sets match.
+    (``numth.cpp:278-311``) so generated parameter sets match.  The search
+    position is memoized per (factor, bit_size) since every context level
+    re-runs the same descending scan.
     """
     if count <= 0:
         raise ValueError("count must be positive")
     if not (2 <= bit_size <= 61):
         raise ValueError("bit_size must be in [2, 61]")
-    result: List[int] = []
-    value = ((1 << bit_size) - 1) // factor * factor + 1
+    key = (factor, bit_size)
+    found, value = _PRIME_SEARCH_CACHE.get(
+        key, ([], ((1 << bit_size) - 1) // factor * factor + 1)
+    )
     lower_bound = 1 << (bit_size - 1)
-    while count > 0 and value > lower_bound:
+    while len(found) < count and value > lower_bound:
         if is_prime(value):
-            result.append(value)
-            count -= 1
+            found.append(value)
         value -= factor
-    if count > 0:
+    _PRIME_SEARCH_CACHE[key] = (found, value)
+    if len(found) < count:
         raise RuntimeError("failed to find enough qualifying primes")
-    return result
+    return list(found[:count])
 
 
 def get_prime(factor: int, bit_size: int) -> int:

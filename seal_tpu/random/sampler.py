@@ -1,0 +1,106 @@
+"""RLWE noise/secret samplers (host, numpy), consuming PRNG byte streams.
+
+Counterpart of ``util/rlwe.cpp:21-188``.  Byte-stream parity notes:
+  * ``sample_poly_uniform`` consumes the stream exactly as the reference
+    (bulk fill of k*n u64 words, then per-limb rejection redraws) — this is
+    the sampler used for seeded-ciphertext expansion, so wire compatibility
+    depends on it.
+  * ``sample_poly_cbd`` (the default noise sampler) is byte-exact: 6 bytes
+    per coefficient, top bits of x[2]/x[5] masked to 5 bits, difference of
+    hamming weights.
+  * ``sample_poly_ternary`` draws 32-bit words with rejection (multiples of
+    3 below 2^32) — the reference defers to ``std::uniform_int_distribution``
+    whose byte consumption is stdlib-specific, so no byte-level contract
+    exists there; distribution and determinism-for-a-seed are preserved.
+  * ``sample_poly_normal`` is the optional clipped Gaussian (sigma 3.2),
+    Box-Muller over stream doubles.
+
+All samplers return uint64 arrays of shape (k, n): the sampled small value
+replicated into every RNS limb (negatives represented as q_i - |v|).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Sequence
+
+import numpy as np
+
+NOISE_STANDARD_DEVIATION = 3.2
+NOISE_MAX_DEVIATION = NOISE_STANDARD_DEVIATION * 6
+
+
+def _replicate_signed(values: np.ndarray, moduli: Sequence[int]) -> np.ndarray:
+    """Signed small ints (n,) -> (k, n) uint64 with negatives lifted mod q_i."""
+    n = len(values)
+    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    neg = values < 0
+    for i, q in enumerate(moduli):
+        row = values.astype(np.int64).astype(object)
+        out[i] = np.array([(int(v)) % q for v in row], dtype=np.uint64)
+    return out
+
+
+def sample_poly_ternary(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
+    """Uniform ternary {-1, 0, 1} secret polynomial."""
+    # Draw 32-bit words; reject >= largest multiple of 3 to stay uniform.
+    vals = np.zeros(n, dtype=np.int64)
+    limit = (1 << 32) - ((1 << 32) % 3)
+    buf = np.frombuffer(prng.generate(4 * n), dtype="<u4").astype(np.int64)
+    bad = buf >= limit
+    while bad.any():
+        redraw = np.frombuffer(prng.generate(4 * int(bad.sum())), dtype="<u4").astype(np.int64)
+        buf[np.where(bad)[0]] = redraw
+        bad = buf >= limit
+    vals = (buf % 3) - 1  # {-1, 0, 1}
+    return _replicate_signed(vals, moduli)
+
+
+def sample_poly_cbd(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
+    """Centered binomial noise, sigma=3.2 (cf. rlwe.cpp:66-103, byte-exact)."""
+    raw = np.frombuffer(prng.generate(6 * n), dtype=np.uint8).reshape(n, 6).copy()
+    raw[:, 2] &= 0x1F
+    raw[:, 5] &= 0x1F
+    weights = np.unpackbits(raw, axis=1).sum(axis=1, dtype=np.int64)
+    pos = np.unpackbits(raw[:, :3], axis=1).sum(axis=1, dtype=np.int64)
+    noise = 2 * pos - weights  # pos - (weights - pos)
+    return _replicate_signed(noise, moduli)
+
+
+def sample_poly_normal(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
+    """Clipped Gaussian noise (optional build flavor; cf. clipnormal.h)."""
+    out = np.zeros(n, dtype=np.int64)
+    i = 0
+    while i < n:
+        u1, u2 = struct.unpack("<2Q", prng.generate(16))
+        a = (u1 >> 11) / (1 << 53)
+        b = (u2 >> 11) / (1 << 53)
+        if a <= 0.0:
+            continue
+        r = math.sqrt(-2.0 * math.log(a)) * NOISE_STANDARD_DEVIATION
+        for val in (r * math.cos(2 * math.pi * b), r * math.sin(2 * math.pi * b)):
+            if i < n and abs(val) <= NOISE_MAX_DEVIATION:
+                out[i] = int(round(val))
+                i += 1
+    return _replicate_signed(out, moduli)
+
+
+def sample_poly_uniform(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
+    """Uniform polynomial mod each q_i; byte-exact vs rlwe.cpp:104-135."""
+    k = len(moduli)
+    dest = np.frombuffer(prng.generate(8 * k * n), dtype="<u8").reshape(k, n).copy()
+    max_random = 0xFFFFFFFFFFFFFFFF
+    for j, q in enumerate(moduli):
+        max_multiple = max_random - (max_random % q) - 1
+        row = dest[j]
+        for c in range(n):
+            r = int(row[c])
+            while r >= max_multiple:
+                (r,) = struct.unpack("<Q", prng.generate(8))
+            row[c] = r % q
+    return dest
+
+
+# Default noise sampler selection (reference CMake SEAL_NOISE_SAMPLER: CBD).
+sample_poly_noise = sample_poly_cbd

@@ -1,0 +1,158 @@
+"""RLWE encryptions of zero (the core of keygen/encrypt).
+
+Counterpart of ``util/rlwe.cpp:190-407``.  Sampling happens host-side
+(numpy over the deterministic PRNG byte stream, same draw order as the
+reference); ring arithmetic happens on device via the NTT/poly kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .context import ContextData, SealContext
+from .data import Ciphertext, PublicKey, SecretKey
+from .params import ParmsId, SchemeType
+from .ops import ntt as NTT
+from .ops import u64 as U
+from .random import UniformRandomGeneratorFactory, UniformRandomGeneratorInfo
+from .random.prng import PRNG_SEED_BYTE_COUNT
+from .random.sampler import sample_poly_noise, sample_poly_ternary, sample_poly_uniform
+
+
+def _stack(polys) -> U.U64:
+    los, his = zip(*polys)
+    return jnp.stack(los), jnp.stack(his)
+
+
+def encrypt_zero_symmetric(
+    secret_key: SecretKey,
+    context: SealContext,
+    parms_id: ParmsId,
+    is_ntt_form: bool,
+    save_seed: bool = False,
+    bootstrap_prng=None,
+) -> Ciphertext:
+    """(c0, c1) = ([-(as+e)]_q, a), NTT-form optional; cf. rlwe.cpp:277-407.
+
+    When ``save_seed``, c1 is regenerable from a public seed recorded in
+    ``seed_info`` (the wire-compatible 2x compression path).
+    """
+    cd = context.get_context_data(parms_id)
+    parms = cd.parms
+    moduli = cd.coeff_modulus_values
+    n = parms.poly_modulus_degree
+    t = cd.limb_tables()
+    scheme = parms.scheme
+
+    if bootstrap_prng is None:
+        bootstrap_prng = parms.random_generator.create()
+
+    # Public seed for c1; expanded by a fresh default-type PRNG.
+    import struct
+
+    seed_bytes = bootstrap_prng.generate(PRNG_SEED_BYTE_COUNT)
+    public_seed = tuple(struct.unpack("<8Q", seed_bytes))
+    ciphertext_prng = UniformRandomGeneratorFactory.default_factory().create(public_seed)
+
+    c1_np = sample_poly_uniform(ciphertext_prng, n, moduli)
+    c1 = c1_sampled = U.from_np_u64(c1_np)
+    if not is_ntt_form and save_seed:
+        # sampled value is the non-NTT form; transform for computing c0
+        c1 = NTT.ntt_forward(c1, t)
+
+    noise_np = sample_poly_noise(bootstrap_prng, n, moduli)
+    noise = U.from_np_u64(noise_np)
+
+    # sk is stored NTT-form at key level; restrict to this level's limbs
+    k = len(moduli)
+    sk = (secret_key.data[0][:k], secret_key.data[1][:k])
+
+    c0 = U.mul_mod(sk, c1, t.q, t.ratio_lo, t.ratio_hi)
+    if is_ntt_form:
+        noise = NTT.ntt_forward(noise, t)
+    else:
+        c0 = NTT.ntt_inverse(c0, t)
+    if scheme == SchemeType.BGV:
+        # noise = t_plain * e
+        from .ops.rns import _cshoup
+
+        tv = parms.plain_modulus.value
+        op, qt = _cshoup([tv % q for q in moduli], moduli)
+        noise = U.mul_mod_shoup(noise, op, qt, t.q)
+    c0 = U.add_mod(noise, c0, t.q)
+    c0 = U.neg_mod(c0, t.q)
+
+    if not is_ntt_form:
+        # Non-NTT storage: the sampled polynomial IS the coefficient form
+        # (what the saved seed regenerates); avoid a redundant iNTT when we
+        # still have it.
+        c1 = c1_sampled if save_seed else NTT.ntt_inverse(c1, t)
+
+    ct = Ciphertext(
+        data=(jnp.stack([c0[0], c1[0]]), jnp.stack([c0[1], c1[1]])),
+        parms_id=parms_id,
+        is_ntt_form=is_ntt_form,
+        scale=1.0,
+        correction_factor=1,
+    )
+    if save_seed:
+        ct.seed_info = ciphertext_prng.info()
+    return ct
+
+
+def encrypt_zero_asymmetric(
+    public_key: PublicKey,
+    context: SealContext,
+    parms_id: ParmsId,
+    is_ntt_form: bool,
+) -> Ciphertext:
+    """c_j = pk_j * u + e_j (BGV: + t*e_j); cf. rlwe.cpp:190-275."""
+    cd = context.get_context_data(parms_id)
+    parms = cd.parms
+    moduli = cd.coeff_modulus_values
+    n = parms.poly_modulus_degree
+    t = cd.limb_tables()
+    scheme = parms.scheme
+    size = public_key.data.size
+    k = len(moduli)
+
+    prng = parms.random_generator.create()
+
+    u_np = sample_poly_ternary(prng, n, moduli)
+    u = NTT.ntt_forward(U.from_np_u64(u_np), t)
+
+    polys = []
+    for j in range(size):
+        pk_j = public_key.data.poly(j)
+        pk_j = (pk_j[0][:k], pk_j[1][:k])
+        c_j = U.mul_mod(u, pk_j, t.q, t.ratio_lo, t.ratio_hi)
+        if not is_ntt_form:
+            c_j = NTT.ntt_inverse(c_j, t)
+        polys.append(c_j)
+
+    for j in range(size):
+        e_np = sample_poly_noise(prng, n, moduli)
+        e = U.from_np_u64(e_np)
+        if scheme == SchemeType.BGV:
+            if is_ntt_form:
+                e = NTT.ntt_forward(e, t, lazy=True)
+            from .ops.rns import _cshoup
+
+            tv = parms.plain_modulus.value
+            op, qt = _cshoup([tv % q for q in moduli], moduli)
+            e = U.mul_mod_shoup(e, op, qt, t.q)
+        else:
+            if is_ntt_form:
+                e = NTT.ntt_forward(e, t)
+        polys[j] = U.add_mod(e, polys[j], t.q)
+
+    return Ciphertext(
+        data=_stack(polys),
+        parms_id=parms_id,
+        is_ntt_form=is_ntt_form,
+        scale=1.0,
+        correction_factor=1,
+    )

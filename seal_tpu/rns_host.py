@@ -170,8 +170,8 @@ class HostRNSTool:
         if not self.t.is_zero:
             self.base_t_gamma = HostRNSBase([self.t, self.gamma])
 
-        # NTT tables over Bsk (for the BEHZ dyadic stage)
-        self.base_Bsk_ntt = [HostNTTTables(logn, m) for m in self.base_Bsk.moduli]
+        self._logn = logn
+        self._base_Bsk_ntt = None
 
         # Base converters
         self.conv_q_to_Bsk = HostBaseConverter(base_q, self.base_Bsk)
@@ -217,6 +217,15 @@ class HostRNSTool:
             self.inv_q_last_mod_t = numth.invert_mod(q_last, self.t.value)
             self.q_last_mod_t = q_last % self.t.value
         self._dev = None
+
+    @property
+    def base_Bsk_ntt(self):
+        """NTT tables over Bsk (BEHZ dyadic stage), built lazily and shared."""
+        if self._base_Bsk_ntt is None:
+            from .ntt_tables import cached_host_ntt_tables
+
+            self._base_Bsk_ntt = [cached_host_ntt_tables(self._logn, m) for m in self.base_Bsk.moduli]
+        return self._base_Bsk_ntt
 
     def device(self):
         """Lazily-built device constant dict for this tool."""
