@@ -1,0 +1,92 @@
+"""Encoders: BatchEncoder here; CKKSEncoder in ckks_encoder.py.
+
+BatchEncoder counterpart of ``batchencoder.{h,cpp}``: N slots viewed as a
+2 x (N/2) matrix over Z_t, values placed at bit-reversed positions of the
+g=3 orbit index map, then an inverse negacyclic NTT mod t (so that slot-wise
+products correspond to poly products).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from .context import SealContext
+from .data import Plaintext
+from .params import SchemeType, PARMS_ID_ZERO
+from .ops import ntt as NTT
+from .ops import u64 as U
+
+
+class BatchEncoder:
+    def __init__(self, context: SealContext):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        cd = context.first_context_data()
+        if cd.parms.scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        if not cd.qualifiers.using_batching:
+            raise ValueError("encryption parameters are not valid for batching")
+        self.context = context
+        self.slots = cd.parms.poly_modulus_degree
+
+        # matrix_reps_index_map (batchencoder.cpp:64-88)
+        n = self.slots
+        logn = n.bit_length() - 1
+        row_size = n >> 1
+        m = n << 1
+        index_map = np.zeros(n, dtype=np.int64)
+        pos = 1
+        from . import numth
+
+        for i in range(row_size):
+            index1 = (pos - 1) >> 1
+            index2 = (m - pos - 1) >> 1
+            index_map[i] = numth.reverse_bits(index1, logn)
+            index_map[row_size | i] = numth.reverse_bits(index2, logn)
+            pos = (pos * 3) & (m - 1)
+        self.index_map = index_map
+
+    def encode(self, values: Sequence[int]) -> Plaintext:
+        """uint64 slot values -> coefficient plaintext (iNTT mod t)."""
+        cd = self.context.first_context_data()
+        t = cd.parms.plain_modulus.value
+        values = list(values)
+        if len(values) > self.slots:
+            raise ValueError("values_matrix size is too large")
+        for v in values:
+            if not (0 <= int(v) < t):
+                raise ValueError("input value is larger than plain_modulus")
+        buf = np.zeros(self.slots, dtype=np.uint64)
+        buf[self.index_map[: len(values)]] = np.asarray(values, dtype=np.uint64)
+        out = NTT.ntt_inverse(U.from_np_u64(buf[None, :]), cd.plain_limb_tables())
+        return Plaintext.from_coeffs(U.to_np_u64(out)[0])
+
+    def encode_int64(self, values: Sequence[int]) -> Plaintext:
+        """Signed variant: negatives wrap mod t (batchencoder.cpp:150-194)."""
+        cd = self.context.first_context_data()
+        t = cd.parms.plain_modulus.value
+        wrapped = []
+        for v in values:
+            v = int(v)
+            if not (-(t >> 1) <= v <= (t - 1) >> 1):
+                raise ValueError("input value is out of range")
+            wrapped.append(v % t)
+        return self.encode(wrapped)
+
+    def decode(self, plain: Plaintext) -> List[int]:
+        if plain.is_ntt_form:
+            raise ValueError("plain cannot be in NTT form")
+        cd = self.context.first_context_data()
+        buf = np.zeros(self.slots, dtype=np.uint64)
+        data = plain.coeff_data[: self.slots]
+        buf[: len(data)] = data
+        ntt = NTT.ntt_forward(U.from_np_u64(buf[None, :]), cd.plain_limb_tables())
+        vals = U.to_np_u64(ntt)[0]
+        return [int(vals[self.index_map[i]]) for i in range(self.slots)]
+
+    def decode_int64(self, plain: Plaintext) -> List[int]:
+        t = self.context.first_context_data().parms.plain_modulus.value
+        half = t >> 1
+        return [v - t if v > half else v for v in self.decode(plain)]

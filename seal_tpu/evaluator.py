@@ -1,0 +1,834 @@
+"""Evaluator: the full homomorphic op surface.
+
+Counterpart of ``evaluator.{h,cpp}`` (op list at evaluator.h:97-1326).  All
+ring arithmetic runs on device through the u64-lane kernels; metadata
+(levels, scales, BGV correction factors) is tracked host-side.  Ciphertexts
+are immutable here — every op returns a new Ciphertext (functional style fits
+jit; the reference's ``_inplace`` variants map to rebinding).
+
+Key TPU formulations:
+  * BFV multiply: BEHZ 8-step pipeline (evaluator.cpp:395-567) over stacked
+    (size, k, n) tensors, both bases transformed with one batched NTT each.
+  * switch_key: the decomposition loop (evaluator.cpp:2561-2867) becomes a
+    single batched NTT over a (D, R, n) tensor (D decomp limbs x R output
+    limbs) followed by a u128-accumulated contraction over D — the
+    limb-sharded matmul-like kernel called out in SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import numth
+from .context import ContextData, SealContext
+from .data import Ciphertext, GaloisKeys, KSwitchKeys, Plaintext, RelinKeys
+from .modulus import CIPHERTEXT_SIZE_MAX
+from .params import PARMS_ID_ZERO, ParmsId, SchemeType
+from .ops import ntt as NTT
+from .ops import poly as P
+from .ops import rns as R
+from .ops import u64 as U
+from .ops.rns import _c, _cshoup, _ratio, slice_limbs, take_limbs
+
+THROW_ON_TRANSPARENT = True
+
+
+def _poly(ct_data: U.U64, j: int) -> U.U64:
+    return ct_data[0][j], ct_data[1][j]
+
+
+def _stack_polys(polys: Sequence[U.U64]) -> U.U64:
+    return jnp.stack([p[0] for p in polys]), jnp.stack([p[1] for p in polys])
+
+
+def _balance_correction_factors(factor1: int, factor2: int, t: int):
+    """BGV correction-factor balancing via extended Euclid minimizing the
+    lifted |e1| + |e2| (evaluator.cpp:56-118).  Returns (f, e1, e2)."""
+    half_t = t // 2
+
+    def sum_abs(x, y):
+        xb = x - t if x > half_t else x
+        yb = y - t if y > half_t else y
+        return abs(xb) + abs(yb)
+
+    ratio = numth.invert_mod(factor1, t) * factor2 % t
+    e1, e2 = ratio, 1
+    best = sum_abs(e1, e2)
+
+    prev_a, a = t, ratio
+    prev_b, b = 0, 1
+    while a != 0:
+        q = prev_a // a
+        prev_a, a = a, prev_a - q * a
+        prev_b, b = b, prev_b - q * b
+        a_mod = a % t
+        b_mod = b % t
+        if a_mod != 0 and numth.gcd(a_mod, t) == 1:
+            new_sum = sum_abs(a_mod, b_mod)
+            if new_sum < best:
+                best = new_sum
+                e1, e2 = a_mod, b_mod
+    return e1 * factor1 % t, e1, e2
+
+
+def _is_scale_within_bounds(scale: float, cd: ContextData) -> bool:
+    scheme = cd.parms.scheme
+    scale_bit_count_bound = -1
+    if scheme == SchemeType.BFV or scheme == SchemeType.BGV:
+        scale_bit_count_bound = cd.parms.plain_modulus.bit_count
+    elif scheme == SchemeType.CKKS:
+        scale_bit_count_bound = cd.total_coeff_modulus_bit_count
+    if scale <= 0:
+        return False
+    import math
+
+    return not (math.floor(math.log2(scale)) >= scale_bit_count_bound)
+
+
+class Evaluator:
+    def __init__(self, context: SealContext):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        self.context = context
+
+    # ------------------------------------------------------------------
+    # validation helpers
+    # ------------------------------------------------------------------
+    def _cd(self, ct: Ciphertext) -> ContextData:
+        cd = self.context.get_context_data(ct.parms_id)
+        if cd is None:
+            raise ValueError("ciphertext is not valid for encryption parameters")
+        return cd
+
+    def _check_transparent(self, ct: Ciphertext):
+        if THROW_ON_TRANSPARENT and ct.is_transparent():
+            raise ValueError("result ciphertext is transparent")
+
+    @staticmethod
+    def _check_same(ct1: Ciphertext, ct2: Ciphertext):
+        if ct1.parms_id != ct2.parms_id:
+            raise ValueError("encrypted1 and encrypted2 parameter mismatch")
+        if ct1.is_ntt_form != ct2.is_ntt_form:
+            raise ValueError("NTT form mismatch")
+        if not np.isclose(ct1.scale, ct2.scale, rtol=1e-12):
+            raise ValueError("scale mismatch")
+
+    # ------------------------------------------------------------------
+    # negate / add / sub
+    # ------------------------------------------------------------------
+    def negate(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        t = cd.limb_tables()
+        out = ct.copy()
+        out.data = U.neg_mod(ct.data, (t.q_lo[None], t.q_hi[None]))
+        self._check_transparent(out)
+        return out
+
+    def _add_sub(self, ct1: Ciphertext, ct2: Ciphertext, is_add: bool) -> Ciphertext:
+        self._check_same(ct1, ct2)
+        cd = self._cd(ct1)
+        t = cd.limb_tables()
+        q = (t.q_lo[None], t.q_hi[None])
+
+        f = 1
+        if cd.parms.scheme == SchemeType.BGV and ct1.correction_factor != ct2.correction_factor:
+            f, e1, e2 = _balance_correction_factors(
+                ct1.correction_factor, ct2.correction_factor, cd.parms.plain_modulus.value
+            )
+            qv = cd.coeff_modulus_values
+            op1 = _cshoup([e1 % qq for qq in qv], qv)
+            op2 = _cshoup([e2 % qq for qq in qv], qv)
+            d1 = U.mul_mod_shoup(ct1.data, op1[0], op1[1], q)
+            d2 = U.mul_mod_shoup(ct2.data, op2[0], op2[1], q)
+        else:
+            f = ct1.correction_factor
+            d1, d2 = ct1.data, ct2.data
+
+        n1, n2 = d1[0].shape[0], d2[0].shape[0]
+        if n1 < n2:
+            pad = n2 - n1
+            d1 = (jnp.pad(d1[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(d1[1], ((0, pad), (0, 0), (0, 0))))
+        elif n2 < n1:
+            pad = n1 - n2
+            d2 = (jnp.pad(d2[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(d2[1], ((0, pad), (0, 0), (0, 0))))
+
+        data = U.add_mod(d1, d2, q) if is_add else U.sub_mod(d1, d2, q)
+        out = ct1.copy()
+        out.data = data
+        out.correction_factor = f
+        self._check_transparent(out)
+        return out
+
+    def add(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        return self._add_sub(ct1, ct2, True)
+
+    def sub(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        return self._add_sub(ct1, ct2, False)
+
+    def add_many(self, cts: Sequence[Ciphertext]) -> Ciphertext:
+        if not cts:
+            raise ValueError("encrypteds cannot be empty")
+        acc = cts[0]
+        for ct in cts[1:]:
+            acc = self.add(acc, ct)
+        return acc
+
+    # ------------------------------------------------------------------
+    # multiply / square
+    # ------------------------------------------------------------------
+    def multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        if ct1.parms_id != ct2.parms_id:
+            raise ValueError("encrypted1 and encrypted2 parameter mismatch")
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme == SchemeType.BFV:
+            out = self._bfv_multiply(ct1, ct2)
+        elif scheme == SchemeType.CKKS:
+            out = self._ckks_multiply(ct1, ct2)
+        elif scheme == SchemeType.BGV:
+            out = self._bgv_multiply(ct1, ct2)
+        else:
+            raise ValueError("unsupported scheme")
+        self._check_transparent(out)
+        return out
+
+    def square(self, ct: Ciphertext) -> Ciphertext:
+        # The reference has dedicated square kernels; multiplying by self is
+        # mathematically identical (optimization comes with the fused kernels).
+        return self.multiply(ct, ct)
+
+    def _convolve(self, polys1, polys2, q, rlo, rhi) -> List[U.U64]:
+        """Dyadic convolution out[i] = sum_{j+k=i} p1[j] * p2[k]."""
+        s1, s2 = len(polys1), len(polys2)
+        dest = []
+        for i in range(s1 + s2 - 1):
+            acc = None
+            for j in range(max(0, i - s2 + 1), min(i, s1 - 1) + 1):
+                prod = U.mul_mod(polys1[j], polys2[i - j], q, rlo, rhi)
+                acc = prod if acc is None else U.add_mod(acc, prod, q)
+            dest.append(acc)
+        return dest
+
+    def _bfv_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        """BEHZ RNS multiplication (evaluator.cpp:395-567)."""
+        if ct1.is_ntt_form or ct2.is_ntt_form:
+            raise ValueError("encrypted1 or encrypted2 cannot be in NTT form")
+        cd = self._cd(ct1)
+        tool = cd.rns_tool
+        tq = cd.limb_tables()
+        tb = cd.bsk_limb_tables()
+        tv = cd.parms.plain_modulus.value
+        qv = cd.coeff_modulus_values
+        bskv = tool.base_Bsk.values
+
+        def extend(ct):
+            """Steps (1)-(3): q-NTT copy + Bsk extension + Bsk-NTT, per poly."""
+            qs, bs = [], []
+            for j in range(ct.size):
+                pj = ct.poly(j)
+                qs.append(NTT.ntt_forward(pj, tq, lazy=True))
+                ext = R.fastbconv_m_tilde(pj, tool)
+                red = R.sm_mrq(ext, tool)
+                bs.append(NTT.ntt_forward(red, tb, lazy=True))
+            return qs, bs
+
+        e1_q, e1_b = extend(ct1)
+        e2_q, e2_b = extend(ct2)
+
+        # Step (4): dyadic convolution in both bases
+        dest_q = self._convolve(e1_q, e2_q, tq.q, tq.ratio_lo, tq.ratio_hi)
+        dest_b = self._convolve(e1_b, e2_b, tb.q, tb.ratio_lo, tb.ratio_hi)
+
+        # Step (5)-(8) per output poly
+        t_op_q = _cshoup([tv % q for q in qv], qv)
+        t_op_b = _cshoup([tv % q for q in bskv], bskv)
+        out_polys = []
+        for i in range(len(dest_q)):
+            dq = NTT.ntt_inverse(dest_q[i], tq, lazy=True)
+            db = NTT.ntt_inverse(dest_b[i], tb, lazy=True)
+            dq = U.mul_mod_shoup(dq, t_op_q[0], t_op_q[1], tq.q)
+            db = U.mul_mod_shoup(db, t_op_b[0], t_op_b[1], tb.q)
+            joined = (jnp.concatenate([dq[0], db[0]], axis=0), jnp.concatenate([dq[1], db[1]], axis=0))
+            floored = R.fast_floor(joined, tool)
+            out_polys.append(R.fastbconv_sk(floored, tool))
+
+        out = ct1.copy()
+        out.data = _stack_polys(out_polys)
+        return out
+
+    def _ckks_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        if not (ct1.is_ntt_form and ct2.is_ntt_form):
+            raise ValueError("encrypted1 and encrypted2 must be in NTT form")
+        cd = self._cd(ct1)
+        t = cd.limb_tables()
+        polys1 = [ct1.poly(j) for j in range(ct1.size)]
+        polys2 = [ct2.poly(j) for j in range(ct2.size)]
+        dest = self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi)
+        out = ct1.copy()
+        out.data = _stack_polys(dest)
+        out.scale = ct1.scale * ct2.scale
+        if not _is_scale_within_bounds(out.scale, cd):
+            raise ValueError("scale out of bounds")
+        return out
+
+    def _bgv_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+        if not (ct1.is_ntt_form and ct2.is_ntt_form):
+            raise ValueError("encrypted1 and encrypted2 must be in NTT form")
+        cd = self._cd(ct1)
+        t = cd.limb_tables()
+        polys1 = [ct1.poly(j) for j in range(ct1.size)]
+        polys2 = [ct2.poly(j) for j in range(ct2.size)]
+        dest = self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi)
+        out = ct1.copy()
+        out.data = _stack_polys(dest)
+        out.correction_factor = (
+            ct1.correction_factor * ct2.correction_factor % cd.parms.plain_modulus.value
+        )
+        return out
+
+    def multiply_many(self, cts: Sequence[Ciphertext], relin_keys: RelinKeys) -> Ciphertext:
+        """Binary-tree product (BFV/BGV only; evaluator.cpp:1649-1724)."""
+        if not cts:
+            raise ValueError("encrypteds cannot be empty")
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        if len(cts) == 1:
+            return cts[0]
+        queue = list(cts)
+        while len(queue) > 1:
+            nxt = []
+            for i in range(0, len(queue) - 1, 2):
+                prod = self.relinearize(self.multiply(queue[i], queue[i + 1]), relin_keys)
+                nxt.append(prod)
+            if len(queue) % 2:
+                nxt.append(queue[-1])
+            queue = nxt
+        return queue[0]
+
+    def exponentiate(self, ct: Ciphertext, exponent: int, relin_keys: RelinKeys) -> Ciphertext:
+        if exponent == 0:
+            raise ValueError("exponent cannot be 0")
+        return self.multiply_many([ct] * exponent, relin_keys)
+
+    # ------------------------------------------------------------------
+    # key switching core (evaluator.cpp:2561-2867)
+    # ------------------------------------------------------------------
+    def _switch_key(self, ct: Ciphertext, target: U.U64, key: dict) -> Ciphertext:
+        """Returns ct with (result_c0, result_c1) added into polys 0 and 1.
+
+        ``target`` is one RNS polynomial (D, n) in the ciphertext's domain.
+        """
+        cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        key_cd = self.context.key_context_data()
+        key_moduli = key_cd.coeff_modulus_values
+        key_tables = key_cd.limb_tables()
+        D = len(cd.parms.coeff_modulus)          # decomp modulus size
+        k_key = len(key_moduli)
+        sel_idx = list(range(D)) + [k_key - 1]   # output limb -> key modulus
+        Rn = D + 1
+        sel_tables = take_limbs(key_tables, sel_idx)
+        sel_q = sel_tables.q
+        sel_rlo, sel_rhi = sel_tables.ratio_lo, sel_tables.ratio_hi
+
+        t_current = cd.limb_tables()
+        if scheme in (SchemeType.CKKS, SchemeType.BGV):
+            t_target = NTT.ntt_inverse(target, t_current)
+        else:
+            t_target = target
+
+        # Build (D, Rn, n): t_target[J] reduced mod each output modulus.
+        tt = (t_target[0][:, None, :], t_target[1][:, None, :])
+        reduced = U.barrett_reduce_64(tt, sel_q, sel_rhi)
+        qv = np.array(cd.coeff_modulus_values, dtype=object)
+        sel_vals = [key_moduli[i] for i in sel_idx]
+        need_reduce = np.array(
+            [[qj > qi for qi in sel_vals] for qj in cd.coeff_modulus_values]
+        )[:, :, None]
+        t_op = U.select64(jnp.asarray(need_reduce), reduced, tt)
+        # Batched NTT: leading axis D, limb axis Rn
+        t_op = NTT.ntt_forward(t_op, sel_tables, lazy=True)  # (D, Rn, n) < 4q
+
+        # Select key columns: (D, k_key, n) -> (D, Rn, n)
+        def sel(keyc):
+            lo, hi = keyc
+            return (
+                jnp.concatenate([lo[:, :D, :], lo[:, k_key - 1 :, :]], axis=1),
+                jnp.concatenate([hi[:, :D, :], hi[:, k_key - 1 :, :]], axis=1),
+            )
+
+        kc0, kc1 = sel(key["c0"]), sel(key["c1"])
+
+        # Contraction over D with 128-bit accumulation.  For 60-bit user
+        # moduli, D*4q*q < 2^128 holds up to D=64 (defines.h:66 rationale);
+        # reduce every 64 summands as a guard.
+        def contract(t_op, keyc):
+            n = t_op[0].shape[-1]
+            acc = U.zero128((Rn, n))
+            for j in range(D):
+                x = (t_op[0][j], t_op[1][j])
+                y = (keyc[0][j], keyc[1][j])
+                acc = U.add128(acc, U.mul64_wide(x, y))
+                if (j + 1) % 64 == 0 and j + 1 < D:
+                    red = U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
+                    acc = (red[0], red[1], jnp.zeros_like(red[0]), jnp.zeros_like(red[0]))
+            return U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
+
+        prod0 = contract(t_op, kc0)  # (Rn, n) NTT form mod sel moduli
+        prod1 = contract(t_op, kc1)
+
+        # Switch the special prime away and add into ct (per component).
+        qk = key_moduli[-1]
+        last_tab = slice_limbs(key_tables, k_key - 1, k_key)
+        dec_tab = slice_limbs(key_tables, 0, D)  # decomp moduli are key moduli[0:D]
+        out_polys = [ct.poly(j) for j in range(ct.size)]
+
+        for comp, prod in ((0, prod0), (1, prod1)):
+            t_last = (prod[0][D:], prod[1][D:])  # (1, n) NTT mod qk
+            rest = (prod[0][:D], prod[1][:D])    # (D, n) NTT mod q_i
+
+            if scheme == SchemeType.BGV:
+                tv = cd.parms.plain_modulus.value
+                qk_inv_qp = key_cd.rns_tool.inv_q_last_mod_t
+                t_last_c = NTT.ntt_inverse(t_last, last_tab)
+                t_c = U.const_u64(tv, (1, 1))
+                t_rhi = _ratio([tv])[1]
+                kk = U.barrett_reduce_64(t_last_c, t_c, t_rhi)
+                kk = U.neg_mod(kk, t_c)
+                if qk_inv_qp != 1:
+                    op, qt = _cshoup([qk_inv_qp], [tv])
+                    kk = U.mul_mod_shoup(kk, op, qt, t_c)
+                dq = _c(cd.coeff_modulus_values)
+                drlo, drhi = _ratio(cd.coeff_modulus_values)
+                delta = U.barrett_reduce_64(kk, dq, drhi)
+                qk_op, qk_qt = _cshoup([qk % qi for qi in cd.coeff_modulus_values], cd.coeff_modulus_values)
+                delta = U.mul_mod_shoup(delta, qk_op, qk_qt, dq)
+                c_mod_qi = U.barrett_reduce_64(t_last_c, dq, drhi)
+                delta = U.add_mod(delta, c_mod_qi, dq)
+                delta = NTT.ntt_forward(delta, dec_tab)
+                new = U.sub_mod(rest, delta, dq)
+                ms_op, ms_qt = _cshoup(key_cd.rns_tool.inv_q_last_mod_q[:D], cd.coeff_modulus_values)
+                new = U.mul_mod_shoup(new, ms_op, ms_qt, dq)
+            else:
+                # BFV / CKKS branch (evaluator.cpp:2806-2865)
+                t_last_c = NTT.ntt_inverse(t_last, last_tab, lazy=True)  # < 2qk
+                qk_half = qk >> 1
+                qk_c = U.const_u64(qk, (1, 1))
+                qk_rhi = _ratio([qk])[1]
+                t_last_c = U.barrett_reduce_64(U.add64(t_last_c, U.const_u64(qk_half)), qk_c, qk_rhi)
+
+                dq = _c(cd.coeff_modulus_values)
+                drlo, drhi = _ratio(cd.coeff_modulus_values)
+                red = U.barrett_reduce_64(t_last_c, dq, drhi)
+                mask = jnp.asarray(
+                    np.array([qk > qi for qi in cd.coeff_modulus_values]).reshape(-1, 1)
+                )
+                t_ntt = U.select64(mask, red, t_last_c)
+                fix = _c([qi - (qk_half % qi) for qi in cd.coeff_modulus_values])
+                t_ntt = U.add64(t_ntt, fix)  # < 2q_i
+
+                if scheme == SchemeType.CKKS:
+                    t_ntt = NTT.ntt_forward(t_ntt, dec_tab, lazy=True)  # < 4q_i
+                    qi_lazy = _c([qi << 2 for qi in cd.coeff_modulus_values])
+                    comp_poly = rest
+                elif scheme == SchemeType.BFV:
+                    comp_poly = NTT.ntt_inverse(rest, dec_tab, lazy=True)  # < 2q_i
+                    qi_lazy = _c([qi << 1 for qi in cd.coeff_modulus_values])
+
+                combined = U.sub64(U.add64(comp_poly, qi_lazy), t_ntt)
+                ms_op, ms_qt = _cshoup(key_cd.rns_tool.inv_q_last_mod_q[:D], cd.coeff_modulus_values)
+                new = U.mul_mod_shoup(combined, ms_op, ms_qt, dq)
+
+            out_polys[comp] = U.add_mod(new, out_polys[comp], dq)
+
+        out = ct.copy()
+        out.data = _stack_polys(out_polys)
+        return out
+
+    # ------------------------------------------------------------------
+    # relinearize
+    # ------------------------------------------------------------------
+    def relinearize(self, ct: Ciphertext, relin_keys: RelinKeys, destination_size: int = 2) -> Ciphertext:
+        if relin_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("relin_keys is not valid for encryption parameters")
+        if not (2 <= destination_size <= ct.size):
+            raise ValueError("destination_size must be in [2, encrypted.size()]")
+        if destination_size == ct.size:
+            return ct
+        relins_needed = ct.size - destination_size
+        out = ct
+        for i in range(relins_needed):
+            target = out.poly(out.size - 1)
+            # key for secret power = index of the removed polynomial
+            if not relin_keys.has_key(out.size - 1):
+                raise ValueError("relin_keys is missing required key")
+            key = relin_keys.key(out.size - 1)
+            trimmed = out.copy()
+            trimmed.data = (out.data[0][: out.size - 1], out.data[1][: out.size - 1])
+            out = self._switch_key(trimmed, target, key)
+        self._check_transparent(out)
+        return out
+
+    # ------------------------------------------------------------------
+    # modulus switching / rescaling
+    # ------------------------------------------------------------------
+    def _mod_switch_scale_to_next(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        if scheme == SchemeType.BFV and ct.is_ntt_form:
+            raise ValueError("BFV encrypted cannot be in NTT form")
+        if scheme in (SchemeType.CKKS, SchemeType.BGV) and not ct.is_ntt_form:
+            raise ValueError(f"{scheme.name} encrypted must be in NTT form")
+        next_cd = cd.next_context_data
+        if next_cd is None:
+            raise ValueError("end of modulus switching chain reached")
+        tool = cd.rns_tool
+        tables = cd.limb_tables()
+        polys = []
+        for j in range(ct.size):
+            pj = ct.poly(j)
+            if scheme == SchemeType.BFV:
+                polys.append(R.divide_and_round_q_last(pj, tool))
+            elif scheme == SchemeType.CKKS:
+                polys.append(R.divide_and_round_q_last_ntt(pj, tool, tables))
+            else:
+                polys.append(R.mod_t_and_divide_q_last_ntt(pj, tool, tables))
+        out = Ciphertext(
+            data=_stack_polys(polys),
+            parms_id=next_cd.parms_id,
+            is_ntt_form=ct.is_ntt_form,
+            scale=ct.scale,
+            correction_factor=ct.correction_factor,
+        )
+        if scheme == SchemeType.CKKS:
+            out.scale = ct.scale / cd.coeff_modulus_values[-1]
+        if scheme == SchemeType.BGV:
+            out.correction_factor = (
+                ct.correction_factor * cd.rns_tool.inv_q_last_mod_t % cd.parms.plain_modulus.value
+            )
+        return out
+
+    def _mod_switch_drop_to_next(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        next_cd = cd.next_context_data
+        if next_cd is None:
+            raise ValueError("end of modulus switching chain reached")
+        if cd.parms.scheme == SchemeType.CKKS and not _is_scale_within_bounds(ct.scale, next_cd):
+            raise ValueError("scale out of bounds")
+        k_next = len(next_cd.parms.coeff_modulus)
+        out = ct.copy()
+        out.data = (ct.data[0][:, :k_next, :], ct.data[1][:, :k_next, :])
+        out.parms_id = next_cd.parms_id
+        return out
+
+    def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
+        cd = self._cd(ct)
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme == SchemeType.CKKS:
+            out = self._mod_switch_drop_to_next(ct)
+        else:
+            out = self._mod_switch_scale_to_next(ct)
+        self._check_transparent(out)
+        return out
+
+    def mod_switch_to(self, ct: Ciphertext, parms_id: ParmsId) -> Ciphertext:
+        cd = self._cd(ct)
+        target = self.context.get_context_data(parms_id)
+        if target is None:
+            raise ValueError("parms_id is not valid")
+        if cd.chain_index < target.chain_index:
+            raise ValueError("cannot switch to higher level modulus")
+        out = ct
+        while out.parms_id != parms_id:
+            out = self.mod_switch_to_next(out)
+        return out
+
+    def mod_switch_plain_to(self, plain: Plaintext, parms_id: ParmsId) -> Plaintext:
+        """NTT-form plaintext: drop limbs only (evaluator.cpp plain overload)."""
+        if not plain.is_ntt_form:
+            raise ValueError("plain is not in NTT form")
+        cd = self.context.get_context_data(plain.parms_id)
+        target = self.context.get_context_data(parms_id)
+        if cd is None or target is None:
+            raise ValueError("parms_id is not valid")
+        if cd.chain_index < target.chain_index:
+            raise ValueError("cannot switch to higher level modulus")
+        k_next = len(target.parms.coeff_modulus)
+        out = plain.copy()
+        out.rns_data = (plain.rns_data[0][:k_next], plain.rns_data[1][:k_next])
+        out.parms_id = parms_id
+        return out
+
+    def rescale_to_next(self, ct: Ciphertext) -> Ciphertext:
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        out = self._mod_switch_scale_to_next(ct)
+        self._check_transparent(out)
+        return out
+
+    def rescale_to(self, ct: Ciphertext, parms_id: ParmsId) -> Ciphertext:
+        target = self.context.get_context_data(parms_id)
+        cd = self._cd(ct)
+        if target is None or cd.chain_index < target.chain_index:
+            raise ValueError("cannot switch to higher level modulus")
+        out = ct
+        while out.parms_id != parms_id:
+            out = self.rescale_to_next(out)
+        return out
+
+    def mod_reduce_to_next(self, ct: Ciphertext) -> Ciphertext:
+        out = self._mod_switch_drop_to_next(ct)
+        self._check_transparent(out)
+        return out
+
+    def mod_reduce_to(self, ct: Ciphertext, parms_id: ParmsId) -> Ciphertext:
+        out = ct
+        while out.parms_id != parms_id:
+            out = self.mod_reduce_to_next(out)
+        return out
+
+    # ------------------------------------------------------------------
+    # plaintext ops
+    # ------------------------------------------------------------------
+    def add_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return self._add_sub_plain(ct, plain, True)
+
+    def sub_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        return self._add_sub_plain(ct, plain, False)
+
+    def _add_sub_plain(self, ct: Ciphertext, plain: Plaintext, is_add: bool) -> Ciphertext:
+        from .encryptor import bgv_lift_plain, multiply_add_plain_with_scaling_variant
+
+        cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        t = cd.limb_tables()
+        out = ct.copy()
+        if scheme == SchemeType.BFV:
+            if ct.is_ntt_form or plain.is_ntt_form:
+                raise ValueError("BFV operands cannot be in NTT form")
+            c0 = multiply_add_plain_with_scaling_variant(plain, cd, ct.poly(0), negate=not is_add)
+        elif scheme == SchemeType.CKKS:
+            if not ct.is_ntt_form or not plain.is_ntt_form:
+                raise ValueError("CKKS operands must be in NTT form")
+            if ct.parms_id != plain.parms_id:
+                raise ValueError("encrypted and plain parameter mismatch")
+            if not np.isclose(ct.scale, plain.scale, rtol=1e-12):
+                raise ValueError("scale mismatch")
+            op = U.add_mod if is_add else U.sub_mod
+            c0 = op(ct.poly(0), plain.rns_data, t.q)
+        elif scheme == SchemeType.BGV:
+            if not ct.is_ntt_form:
+                raise ValueError("BGV encrypted must be in NTT form")
+            if plain.is_ntt_form:
+                raise ValueError("BGV plain cannot be in NTT form")
+            tv = cd.parms.plain_modulus.value
+            scaled = plain.copy()
+            scaled.coeff_data = np.array(
+                [int(c) * ct.correction_factor % tv for c in plain.coeff_data], dtype=np.uint64
+            )
+            lifted = bgv_lift_plain(scaled, cd)
+            op = U.add_mod if is_add else U.sub_mod
+            c0 = op(ct.poly(0), lifted, t.q)
+        else:
+            raise ValueError("unsupported scheme")
+        out.data = (ct.data[0].at[0].set(c0[0]), ct.data[1].at[0].set(c0[1]))
+        self._check_transparent(out)
+        return out
+
+    def multiply_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        cd = self._cd(ct)
+        if ct.is_ntt_form and plain.is_ntt_form:
+            out = self._multiply_plain_ntt(ct, plain)
+        elif not ct.is_ntt_form and not plain.is_ntt_form:
+            out = self._multiply_plain_normal(ct, plain)
+        else:
+            raise ValueError("NTT form mismatch")
+        self._check_transparent(out)
+        return out
+
+    def _multiply_plain_ntt(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        if ct.parms_id != plain.parms_id:
+            raise ValueError("encrypted and plain parameter mismatch")
+        cd = self._cd(ct)
+        t = cd.limb_tables()
+        pr = (plain.rns_data[0][None], plain.rns_data[1][None])  # (1, k, n)
+        out = ct.copy()
+        out.data = U.mul_mod(ct.data, pr, (t.q_lo[None], t.q_hi[None]),
+                             (t.ratio_lo_lo[None], t.ratio_lo_hi[None]),
+                             (t.ratio_hi_lo[None], t.ratio_hi_hi[None]))
+        scale = ct.scale * plain.scale
+        if not _is_scale_within_bounds(scale, cd):
+            raise ValueError("scale out of bounds")
+        out.scale = scale
+        return out
+
+    def _multiply_plain_normal(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:
+        from .encryptor import bgv_lift_plain
+
+        cd = self._cd(ct)
+        t = cd.limb_tables()
+        n = cd.parms.poly_modulus_degree
+        thr = cd.plain_upper_half_threshold
+
+        sig = plain.significant_coeff_count()
+        nonzero = int(np.count_nonzero(plain.coeff_data))
+        out = ct.copy()
+        if nonzero == 1:
+            # Monomial fast path (evaluator.cpp:2048-2096).  Timing leak on
+            # the plaintext structure exists in the reference too
+            # (documented there at :2044-2047).
+            exp = sig - 1
+            coeff = int(plain.coeff_data[exp])
+            qv = cd.coeff_modulus_values
+            if coeff >= thr:
+                if not cd.qualifiers.using_fast_plain_lift:
+                    lifted = coeff + (cd.total_coeff_modulus - cd.parms.plain_modulus.value)
+                    mono = [lifted % q for q in qv]
+                else:
+                    mono = [(coeff + inc) % q for q, inc in zip(qv, cd.plain_upper_half_increment)]
+            else:
+                mono = [coeff % q for q in qv]
+            mono_c = _c(mono)
+            scaled = U.mul_mod(
+                ct.data, (mono_c[0][None], mono_c[1][None]), (t.q_lo[None], t.q_hi[None]),
+                (t.ratio_lo_lo[None], t.ratio_lo_hi[None]), (t.ratio_hi_lo[None], t.ratio_hi_hi[None]),
+            )
+            out.data = P.negacyclic_shift(scaled, exp, (t.q_lo[None], t.q_hi[None]))
+        else:
+            lifted = bgv_lift_plain(plain, cd)  # (k, n) NTT form of lifted plain
+            polys = []
+            for j in range(ct.size):
+                pj = NTT.ntt_forward(ct.poly(j), t, lazy=True)
+                pj = U.mul_mod(pj, lifted, t.q, t.ratio_lo, t.ratio_hi)
+                polys.append(NTT.ntt_inverse(pj, t))
+            out.data = _stack_polys(polys)
+        scale = ct.scale * plain.scale
+        if not _is_scale_within_bounds(scale, cd):
+            raise ValueError("scale out of bounds")
+        out.scale = scale
+        return out
+
+    # ------------------------------------------------------------------
+    # NTT transforms
+    # ------------------------------------------------------------------
+    def transform_plain_to_ntt(self, plain: Plaintext, parms_id: ParmsId) -> Plaintext:
+        """Lift mod-t plaintext to RNS mod q and NTT (evaluator.cpp:2196+)."""
+        from .encryptor import bgv_lift_plain
+
+        if plain.is_ntt_form:
+            raise ValueError("plain is already in NTT form")
+        cd = self.context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid")
+        out = plain.copy()
+        out.rns_data = bgv_lift_plain(plain, cd)
+        out.parms_id = parms_id
+        out.coeff_data = np.zeros(0, dtype=np.uint64)
+        return out
+
+    def transform_to_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if ct.is_ntt_form:
+            raise ValueError("encrypted is already in NTT form")
+        cd = self._cd(ct)
+        t = cd.limb_tables()
+        out = ct.copy()
+        out.data = NTT.ntt_forward(ct.data, t)
+        out.is_ntt_form = True
+        return out
+
+    def transform_from_ntt(self, ct: Ciphertext) -> Ciphertext:
+        if not ct.is_ntt_form:
+            raise ValueError("encrypted is not in NTT form")
+        cd = self._cd(ct)
+        t = cd.limb_tables()
+        out = ct.copy()
+        out.data = NTT.ntt_inverse(ct.data, t)
+        out.is_ntt_form = False
+        return out
+
+    # ------------------------------------------------------------------
+    # Galois / rotations (evaluator.cpp:2384-2559)
+    # ------------------------------------------------------------------
+    def apply_galois(self, ct: Ciphertext, galois_elt: int, galois_keys: GaloisKeys) -> Ciphertext:
+        cd = self._cd(ct)
+        if galois_keys.parms_id != self.context.key_parms_id:
+            raise ValueError("galois_keys is not valid for encryption parameters")
+        n = cd.parms.poly_modulus_degree
+        if not (galois_elt & 1) or galois_elt >= 2 * n:
+            raise ValueError("Galois element is not valid")
+        if ct.size > 2:
+            raise ValueError("encrypted size must be 2")
+        if not galois_keys.has_key(galois_elt):
+            raise ValueError("Galois key not present")
+        tool = cd.galois_tool
+        t = cd.limb_tables()
+        q2 = (t.q_lo[None], t.q_hi[None])
+
+        if not ct.is_ntt_form:
+            src, neg = tool.coeff_table(galois_elt)
+            src_j, neg_j = jnp.asarray(src), jnp.asarray(neg)
+            c0 = P.apply_galois_coeff(ct.poly(0), src_j, neg_j, t.q)
+            c1 = P.apply_galois_coeff(ct.poly(1), src_j, neg_j, t.q)
+        else:
+            table = jnp.asarray(tool.ntt_table(galois_elt))
+            c0 = P.apply_galois_ntt(ct.poly(0), table)
+            c1 = P.apply_galois_ntt(ct.poly(1), table)
+
+        base = ct.copy()
+        zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+        base.data = _stack_polys([c0, zeros])
+        out = self._switch_key(base, c1, galois_keys.key(galois_elt))
+        self._check_transparent(out)
+        return out
+
+    def _rotate_internal(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:
+        cd = self._cd(ct)
+        if not cd.qualifiers.using_batching:
+            raise ValueError("encryption parameters do not support batching")
+        if steps == 0:
+            return ct
+        tool = cd.galois_tool
+        n = cd.parms.poly_modulus_degree
+        elt = tool.get_elt_from_step(steps)
+        if galois_keys.has_key(elt):
+            return self.apply_galois(ct, elt, galois_keys)
+        # NAF decomposition fallback (evaluator.cpp:2538-2557)
+        naf_steps = numth.naf(steps)
+        if len(naf_steps) == 1:
+            raise ValueError("Galois key not present")
+        out = ct
+        for s in naf_steps:
+            out = self._rotate_internal(out, s, galois_keys)
+        return out
+
+    def rotate_rows(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        return self._rotate_internal(ct, steps, galois_keys)
+
+    def rotate_columns(self, ct: Ciphertext, galois_keys: GaloisKeys) -> Ciphertext:
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        cd = self._cd(ct)
+        n = cd.parms.poly_modulus_degree
+        return self.apply_galois(ct, 2 * n - 1, galois_keys)
+
+    def rotate_vector(self, ct: Ciphertext, steps: int, galois_keys: GaloisKeys) -> Ciphertext:
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        return self._rotate_internal(ct, steps, galois_keys)
+
+    def complex_conjugate(self, ct: Ciphertext, galois_keys: GaloisKeys) -> Ciphertext:
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        cd = self._cd(ct)
+        n = cd.parms.poly_modulus_degree
+        return self.apply_galois(ct, 2 * n - 1, galois_keys)

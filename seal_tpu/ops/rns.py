@@ -338,3 +338,9 @@ def decrypt_modt(x: U64, tool: HostRNSTool) -> U64:
 def slice_limbs(t: LimbTables, start: int, stop: int) -> LimbTables:
     """Restrict a LimbTables bundle to limbs [start, stop)."""
     return LimbTables(*(arr[start:stop] for arr in t))
+
+
+def take_limbs(t: LimbTables, indices) -> LimbTables:
+    """Gather arbitrary limb rows of a LimbTables bundle."""
+    idx = np.asarray(indices)
+    return LimbTables(*(arr[idx] for arr in t))
