@@ -1,0 +1,261 @@
+"""CKKSEncoder: canonical-embedding encode/decode for approximate arithmetic.
+
+Counterpart of ``ckks.{h,cpp}``: N/2 complex slots via the g=3 orbit index
+map; encode runs an inverse complex FFT (same butterfly recursion as the
+NTT, complex roots, 1/n and scale fused), rounds each real coefficient to an
+exact integer, reduces into every RNS limb, and NTT-transforms on device.
+Decode is the reverse: iNTT, CRT-compose, centered lift scaled by 1/scale
+with per-64-bit-word double accumulation (ckks.h:683-787), forward FFT.
+
+The FFT stages are vectorized numpy complex128 on host — bit-identical
+structure to the reference's DWTHandler recursion; double rounding behavior
+matches (round half away from zero).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Union
+
+import numpy as np
+
+from . import numth
+from .context import SealContext
+from .data import Plaintext
+from .params import PARMS_ID_ZERO, ParmsId, SchemeType
+from .ops import ntt as NTT
+from .ops import u64 as U
+
+
+class CKKSEncoder:
+    def __init__(self, context: SealContext):
+        if not context.parameters_set:
+            raise ValueError("encryption parameters are not set correctly")
+        cd = context.first_context_data()
+        if cd.parms.scheme != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        self.context = context
+        n = cd.parms.poly_modulus_degree
+        self.n = n
+        self.slots = n >> 1
+        logn = n.bit_length() - 1
+        self.logn = logn
+        m = n << 1
+
+        # index map (ckks.cpp:33-50)
+        index_map = np.zeros(n, dtype=np.int64)
+        pos = 1
+        for i in range(self.slots):
+            index1 = (pos - 1) >> 1
+            index2 = (m - pos - 1) >> 1
+            index_map[i] = numth.reverse_bits(index1, logn)
+            index_map[self.slots | i] = numth.reverse_bits(index2, logn)
+            pos = (pos * 3) & (m - 1)
+        self.index_map = index_map
+
+        # complex root tables in the same bit-reversed / scrambled layouts as
+        # the NTT twiddles (ckks.cpp:52-66)
+        def root(k):
+            return complex(math.cos(2 * math.pi * k / m), math.sin(2 * math.pi * k / m))
+
+        self.root_powers = np.zeros(n, dtype=np.complex128)
+        self.inv_root_powers = np.zeros(n, dtype=np.complex128)
+        for i in range(1, n):
+            self.root_powers[i] = root(numth.reverse_bits(i, logn))
+            self.inv_root_powers[i] = root(numth.reverse_bits(i - 1, logn) + 1).conjugate()
+
+    # -- FFT butterflies (complex analog of dwthandler.h) ------------------
+    def _fft_from_rev(self, values: np.ndarray, fix: float) -> np.ndarray:
+        """Inverse FFT: bit-reversed input -> normal order, scaled by fix."""
+        n = self.n
+        a = values.copy()
+        offset = 1
+        gap = 1
+        m = n >> 1
+        while m > 1:
+            v = a.reshape(m, 2, gap)
+            r = self.inv_root_powers[offset : offset + m].reshape(m, 1)
+            x0 = v[:, 0, :] + v[:, 1, :]
+            x1 = (v[:, 0, :] - v[:, 1, :]) * r
+            a = np.stack([x0, x1], axis=1).reshape(n)
+            offset += m
+            gap <<= 1
+            m >>= 1
+        # final stage with scalar fused
+        r = self.inv_root_powers[offset] * fix
+        v = a.reshape(1, 2, gap)
+        x0 = (v[:, 0, :] + v[:, 1, :]) * fix
+        x1 = (v[:, 0, :] - v[:, 1, :]) * r
+        return np.stack([x0, x1], axis=1).reshape(n)
+
+    def _fft_to_rev(self, values: np.ndarray) -> np.ndarray:
+        """Forward FFT: normal order -> bit-reversed."""
+        n = self.n
+        a = values.copy()
+        m = 1
+        gap = n >> 1
+        while m < n:
+            v = a.reshape(m, 2, gap)
+            r = self.root_powers[m : 2 * m].reshape(m, 1)
+            u = v[:, 0, :]
+            w = v[:, 1, :] * r
+            a = np.stack([u + w, u - w], axis=1).reshape(n)
+            m <<= 1
+            gap >>= 1
+        return a
+
+    # -- encode ------------------------------------------------------------
+    def encode(self, values: Union[Sequence[complex], Sequence[float], complex, float, int], parms_id_or_scale=None, scale: float = None, parms_id: ParmsId = None) -> Plaintext:
+        """Encode a vector of complex/real values (or a scalar broadcast).
+
+        Accepts encode(values, scale) or encode(values, parms_id, scale).
+        """
+        if scale is None and isinstance(parms_id_or_scale, (int, float)) and parms_id is None:
+            scale = float(parms_id_or_scale)
+            parms_id = self.context.first_parms_id
+        else:
+            if parms_id_or_scale is not None and not isinstance(parms_id_or_scale, (int, float)):
+                parms_id = tuple(parms_id_or_scale)
+            if parms_id is None:
+                parms_id = self.context.first_parms_id
+            if scale is None:
+                raise ValueError("scale must be given")
+
+        if np.isscalar(values) or isinstance(values, (complex, float, int)):
+            return self._encode_scalar(complex(values), parms_id, scale)
+        return self._encode_vector(np.asarray(values, dtype=np.complex128), parms_id, scale)
+
+    def _encode_vector(self, values: np.ndarray, parms_id: ParmsId, scale: float) -> Plaintext:
+        cd = self.context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        if len(values) > self.slots:
+            raise ValueError("values size is too large")
+        if not np.isfinite(values).all():
+            raise ValueError("values must be finite")
+        if not (scale > 0 and math.floor(math.log2(scale)) < cd.total_coeff_modulus_bit_count):
+            raise ValueError("scale out of bounds")
+
+        n = self.n
+        conj_values = np.zeros(n, dtype=np.complex128)
+        conj_values[self.index_map[: len(values)]] = values
+        conj_values[self.index_map[self.slots : self.slots + len(values)]] = np.conj(values)
+
+        fix = scale / n
+        coeffs = self._fft_from_rev(conj_values, fix).real
+
+        max_coeff = float(np.max(np.abs(coeffs))) if n else 0.0
+        if not np.isfinite(max_coeff):
+            raise ValueError("encoded values are too large")
+        max_coeff_bits = max(int(math.ceil(math.log2(max(max_coeff, 1.0)))), 0) + 1
+        if max_coeff_bits >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("encoded values are too large")
+
+        # Round half away from zero, exact integers via Python ints
+        rounded = [
+            int(math.floor(abs(c) + 0.5)) * (-1 if c < 0 or (c == 0 and math.copysign(1, c) < 0) else 1)
+            for c in coeffs
+        ]
+        qv = cd.coeff_modulus_values
+        k = len(qv)
+        rns = np.zeros((k, n), dtype=np.uint64)
+        for j, q in enumerate(qv):
+            rns[j] = np.array([r % q for r in rounded], dtype=np.uint64)
+
+        ntt_data = NTT.ntt_forward(U.from_np_u64(rns), cd.limb_tables())
+        p = Plaintext()
+        p.parms_id = parms_id
+        p.scale = scale
+        p.rns_data = ntt_data
+        p.coeff_data = np.zeros(0, dtype=np.uint64)
+        return p
+
+    def _encode_scalar(self, value: complex, parms_id: ParmsId, scale: float) -> Plaintext:
+        """Scalar fast path: fills all slots without FFT (ckks.cpp:75-230).
+
+        A real scalar v encodes as the constant polynomial round(v*scale);
+        a complex scalar additionally gets an X^{n/2}-type imaginary part —
+        here we use the generic vector path for complex values.
+        """
+        if value.imag != 0:
+            return self._encode_vector(np.full(self.slots, value, dtype=np.complex128), parms_id, scale)
+        cd = self.context.get_context_data(parms_id)
+        if cd is None:
+            raise ValueError("parms_id is not valid for encryption parameters")
+        if not (scale > 0 and math.floor(math.log2(scale)) < cd.total_coeff_modulus_bit_count):
+            raise ValueError("scale out of bounds")
+        coeffd = value.real * scale
+        if not math.isfinite(coeffd):
+            raise ValueError("encoded value is too large")
+        rounded = int(math.floor(abs(coeffd) + 0.5)) * (-1 if coeffd < 0 else 1)
+        if abs(rounded).bit_length() + 1 >= cd.total_coeff_modulus_bit_count:
+            raise ValueError("encoded value is too large")
+        qv = cd.coeff_modulus_values
+        n = self.n
+        rns = np.zeros((len(qv), n), dtype=np.uint64)
+        for j, q in enumerate(qv):
+            rns[j, :] = rounded % q
+        p = Plaintext()
+        p.parms_id = parms_id
+        p.scale = scale
+        # constant polynomial: NTT of a constant is the constant everywhere
+        p.rns_data = U.from_np_u64(rns)
+        p.coeff_data = np.zeros(0, dtype=np.uint64)
+        return p
+
+    def encode_int(self, value: int, parms_id: ParmsId = None) -> Plaintext:
+        """Exact int64 encode, scale = 1 (ckks.cpp:232-287)."""
+        if parms_id is None:
+            parms_id = self.context.first_parms_id
+        cd = self.context.get_context_data(parms_id)
+        qv = cd.coeff_modulus_values
+        n = self.n
+        rns = np.zeros((len(qv), n), dtype=np.uint64)
+        for j, q in enumerate(qv):
+            rns[j, :] = value % q
+        p = Plaintext()
+        p.parms_id = parms_id
+        p.scale = 1.0
+        p.rns_data = U.from_np_u64(rns)
+        p.coeff_data = np.zeros(0, dtype=np.uint64)
+        return p
+
+    # -- decode ------------------------------------------------------------
+    def decode(self, plain: Plaintext) -> np.ndarray:
+        """NTT plaintext -> N/2 complex slot values (ckks.h:683-787)."""
+        if not plain.is_ntt_form:
+            raise ValueError("plain is not in NTT form")
+        cd = self.context.get_context_data(plain.parms_id)
+        if cd is None:
+            raise ValueError("plain is not valid for encryption parameters")
+        if not (plain.scale > 0 and math.floor(math.log2(plain.scale)) < cd.total_coeff_modulus_bit_count):
+            raise ValueError("scale out of bounds")
+
+        n = self.n
+        coeff_poly = NTT.ntt_inverse(plain.rns_data, cd.limb_tables())
+        residues = U.to_np_u64(coeff_poly)
+        q_total = cd.total_coeff_modulus
+        values = cd.base_q.compose_array(residues)
+        upper_half = cd.upper_half_threshold
+
+        inv_scale = 1.0 / plain.scale
+        res = np.zeros(n, dtype=np.float64)
+        for i, v in enumerate(values):
+            # centered value, accumulated per 64-bit word in doubles
+            # (matches reference's two_pow_64 ladder exactly)
+            if v >= upper_half:
+                c = v - q_total
+            else:
+                c = v
+            neg = c < 0
+            c = -c if neg else c
+            acc = 0.0
+            p = inv_scale
+            while c:
+                acc += (c & 0xFFFFFFFFFFFFFFFF) * p
+                c >>= 64
+                p *= 18446744073709551616.0
+            res[i] = -acc if neg else acc
+
+        slots_out = self._fft_to_rev(res.astype(np.complex128))
+        return slots_out[self.index_map[: self.slots]]

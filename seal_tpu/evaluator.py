@@ -645,8 +645,10 @@ class Evaluator:
             out = self._multiply_plain_ntt(ct, plain)
         elif not ct.is_ntt_form and not plain.is_ntt_form:
             out = self._multiply_plain_normal(ct, plain)
+        elif ct.is_ntt_form:
+            out = self._multiply_plain_ntt(ct, self.transform_plain_to_ntt(plain, ct.parms_id))
         else:
-            raise ValueError("NTT form mismatch")
+            out = self.transform_from_ntt(self._multiply_plain_ntt(self.transform_to_ntt(ct), plain))
         self._check_transparent(out)
         return out
 
