@@ -212,6 +212,8 @@ class SealContext:
         self.sec_level = sec_level
         parms = parms.clone()
         self._context_data_map: Dict[ParmsId, ContextData] = {}
+        # Cache of jit-compiled op closures, keyed by (op, parms_id, shapes...)
+        self._jit_cache: Dict[tuple, object] = {}
 
         key_cd = self._validate(parms)
         self._context_data_map[parms.parms_id] = key_cd

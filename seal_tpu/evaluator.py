@@ -94,6 +94,23 @@ class Evaluator:
             raise ValueError("encryption parameters are not set correctly")
         self.context = context
 
+    def _jit(self, key, builder):
+        """Cache jit-compiled op bodies per (op, level, shape) key.
+
+        The builder closes over context constants (tables become jit
+        constants); tracing happens once per key, so steady-state op
+        execution is allocation- and retrace-free — the TPU analog of the
+        reference's preallocated-pool fast path (SURVEY.md §2.8).
+        """
+        cache = self.context._jit_cache
+        fn = cache.get(key)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(builder)
+            cache[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
     # validation helpers
     # ------------------------------------------------------------------
@@ -121,9 +138,12 @@ class Evaluator:
     # ------------------------------------------------------------------
     def negate(self, ct: Ciphertext) -> Ciphertext:
         cd = self._cd(ct)
-        t = cd.limb_tables()
+        fn = self._jit(
+            ("negate", ct.parms_id, ct.size),
+            lambda d: U.neg_mod(d, (cd.limb_tables().q_lo[None], cd.limb_tables().q_hi[None])),
+        )
         out = ct.copy()
-        out.data = U.neg_mod(ct.data, (t.q_lo[None], t.q_hi[None]))
+        out.data = fn(ct.data)
         self._check_transparent(out)
         return out
 
@@ -134,30 +154,40 @@ class Evaluator:
         q = (t.q_lo[None], t.q_hi[None])
 
         f = 1
-        if cd.parms.scheme == SchemeType.BGV and ct1.correction_factor != ct2.correction_factor:
+        balance = (
+            cd.parms.scheme == SchemeType.BGV and ct1.correction_factor != ct2.correction_factor
+        )
+        if balance:
             f, e1, e2 = _balance_correction_factors(
                 ct1.correction_factor, ct2.correction_factor, cd.parms.plain_modulus.value
             )
-            qv = cd.coeff_modulus_values
-            op1 = _cshoup([e1 % qq for qq in qv], qv)
-            op2 = _cshoup([e2 % qq for qq in qv], qv)
-            d1 = U.mul_mod_shoup(ct1.data, op1[0], op1[1], q)
-            d2 = U.mul_mod_shoup(ct2.data, op2[0], op2[1], q)
         else:
             f = ct1.correction_factor
-            d1, d2 = ct1.data, ct2.data
+            e1 = e2 = 1
 
-        n1, n2 = d1[0].shape[0], d2[0].shape[0]
-        if n1 < n2:
-            pad = n2 - n1
-            d1 = (jnp.pad(d1[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(d1[1], ((0, pad), (0, 0), (0, 0))))
-        elif n2 < n1:
-            pad = n1 - n2
-            d2 = (jnp.pad(d2[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(d2[1], ((0, pad), (0, 0), (0, 0))))
+        def body(d1, d2):
+            dd1, dd2 = d1, d2
+            if balance:
+                qv = cd.coeff_modulus_values
+                op1 = _cshoup([e1 % qq for qq in qv], qv)
+                op2 = _cshoup([e2 % qq for qq in qv], qv)
+                dd1 = U.mul_mod_shoup(d1, op1[0], op1[1], q)
+                dd2 = U.mul_mod_shoup(d2, op2[0], op2[1], q)
+            n1, n2 = dd1[0].shape[0], dd2[0].shape[0]
+            if n1 < n2:
+                pad = n2 - n1
+                dd1 = (jnp.pad(dd1[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(dd1[1], ((0, pad), (0, 0), (0, 0))))
+            elif n2 < n1:
+                pad = n1 - n2
+                dd2 = (jnp.pad(dd2[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(dd2[1], ((0, pad), (0, 0), (0, 0))))
+            return U.add_mod(dd1, dd2, q) if is_add else U.sub_mod(dd1, dd2, q)
 
-        data = U.add_mod(d1, d2, q) if is_add else U.sub_mod(d1, d2, q)
+        fn = self._jit(
+            ("add_sub", ct1.parms_id, ct1.size, ct2.size, is_add, e1 if balance else 1, e2 if balance else 1),
+            body,
+        )
         out = ct1.copy()
-        out.data = data
+        out.data = fn(ct1.data, ct2.data)
         out.correction_factor = f
         self._check_transparent(out)
         return out
@@ -216,58 +246,69 @@ class Evaluator:
         if ct1.is_ntt_form or ct2.is_ntt_form:
             raise ValueError("encrypted1 or encrypted2 cannot be in NTT form")
         cd = self._cd(ct1)
-        tool = cd.rns_tool
-        tq = cd.limb_tables()
-        tb = cd.bsk_limb_tables()
-        tv = cd.parms.plain_modulus.value
-        qv = cd.coeff_modulus_values
-        bskv = tool.base_Bsk.values
+        size1, size2 = ct1.size, ct2.size
 
-        def extend(ct):
-            """Steps (1)-(3): q-NTT copy + Bsk extension + Bsk-NTT, per poly."""
-            qs, bs = [], []
-            for j in range(ct.size):
-                pj = ct.poly(j)
-                qs.append(NTT.ntt_forward(pj, tq, lazy=True))
-                ext = R.fastbconv_m_tilde(pj, tool)
-                red = R.sm_mrq(ext, tool)
-                bs.append(NTT.ntt_forward(red, tb, lazy=True))
-            return qs, bs
+        def body(d1, d2):
+            tool = cd.rns_tool
+            tq = cd.limb_tables()
+            tb = cd.bsk_limb_tables()
+            tv = cd.parms.plain_modulus.value
+            qv = cd.coeff_modulus_values
+            bskv = tool.base_Bsk.values
 
-        e1_q, e1_b = extend(ct1)
-        e2_q, e2_b = extend(ct2)
+            def extend(data, size):
+                qs, bs = [], []
+                for j in range(size):
+                    pj = (data[0][j], data[1][j])
+                    qs.append(NTT.ntt_forward(pj, tq, lazy=True))
+                    ext = R.fastbconv_m_tilde(pj, tool)
+                    red = R.sm_mrq(ext, tool)
+                    bs.append(NTT.ntt_forward(red, tb, lazy=True))
+                return qs, bs
 
-        # Step (4): dyadic convolution in both bases
-        dest_q = self._convolve(e1_q, e2_q, tq.q, tq.ratio_lo, tq.ratio_hi)
-        dest_b = self._convolve(e1_b, e2_b, tb.q, tb.ratio_lo, tb.ratio_hi)
+            e1_q, e1_b = extend(d1, size1)
+            e2_q, e2_b = extend(d2, size2)
+            dest_q = self._convolve(e1_q, e2_q, tq.q, tq.ratio_lo, tq.ratio_hi)
+            dest_b = self._convolve(e1_b, e2_b, tb.q, tb.ratio_lo, tb.ratio_hi)
+            t_op_q = _cshoup([tv % q for q in qv], qv)
+            t_op_b = _cshoup([tv % q for q in bskv], bskv)
+            out_polys = []
+            for i in range(len(dest_q)):
+                dq = NTT.ntt_inverse(dest_q[i], tq, lazy=True)
+                db = NTT.ntt_inverse(dest_b[i], tb, lazy=True)
+                dq = U.mul_mod_shoup(dq, t_op_q[0], t_op_q[1], tq.q)
+                db = U.mul_mod_shoup(db, t_op_b[0], t_op_b[1], tb.q)
+                joined = (
+                    jnp.concatenate([dq[0], db[0]], axis=0),
+                    jnp.concatenate([dq[1], db[1]], axis=0),
+                )
+                floored = R.fast_floor(joined, tool)
+                out_polys.append(R.fastbconv_sk(floored, tool))
+            return _stack_polys(out_polys)
 
-        # Step (5)-(8) per output poly
-        t_op_q = _cshoup([tv % q for q in qv], qv)
-        t_op_b = _cshoup([tv % q for q in bskv], bskv)
-        out_polys = []
-        for i in range(len(dest_q)):
-            dq = NTT.ntt_inverse(dest_q[i], tq, lazy=True)
-            db = NTT.ntt_inverse(dest_b[i], tb, lazy=True)
-            dq = U.mul_mod_shoup(dq, t_op_q[0], t_op_q[1], tq.q)
-            db = U.mul_mod_shoup(db, t_op_b[0], t_op_b[1], tb.q)
-            joined = (jnp.concatenate([dq[0], db[0]], axis=0), jnp.concatenate([dq[1], db[1]], axis=0))
-            floored = R.fast_floor(joined, tool)
-            out_polys.append(R.fastbconv_sk(floored, tool))
-
+        fn = self._jit(("bfv_mul", ct1.parms_id, size1, size2), body)
         out = ct1.copy()
-        out.data = _stack_polys(out_polys)
+        out.data = fn(ct1.data, ct2.data)
         return out
+
+    def _ntt_convolve_jit(self, cd, ct1: Ciphertext, ct2: Ciphertext) -> U.U64:
+        size1, size2 = ct1.size, ct2.size
+
+        def body(d1, d2):
+            t = cd.limb_tables()
+            polys1 = [(d1[0][j], d1[1][j]) for j in range(size1)]
+            polys2 = [(d2[0][j], d2[1][j]) for j in range(size2)]
+            return _stack_polys(self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi))
+
+        fn = self._jit(("ntt_conv", ct1.parms_id, size1, size2), body)
+        return fn(ct1.data, ct2.data)
 
     def _ckks_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         if not (ct1.is_ntt_form and ct2.is_ntt_form):
             raise ValueError("encrypted1 and encrypted2 must be in NTT form")
         cd = self._cd(ct1)
-        t = cd.limb_tables()
-        polys1 = [ct1.poly(j) for j in range(ct1.size)]
-        polys2 = [ct2.poly(j) for j in range(ct2.size)]
-        dest = self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi)
         out = ct1.copy()
-        out.data = _stack_polys(dest)
+        out.data = self._ntt_convolve_jit(cd, ct1, ct2)
         out.scale = ct1.scale * ct2.scale
         if not _is_scale_within_bounds(out.scale, cd):
             raise ValueError("scale out of bounds")
@@ -277,12 +318,8 @@ class Evaluator:
         if not (ct1.is_ntt_form and ct2.is_ntt_form):
             raise ValueError("encrypted1 and encrypted2 must be in NTT form")
         cd = self._cd(ct1)
-        t = cd.limb_tables()
-        polys1 = [ct1.poly(j) for j in range(ct1.size)]
-        polys2 = [ct2.poly(j) for j in range(ct2.size)]
-        dest = self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi)
         out = ct1.copy()
-        out.data = _stack_polys(dest)
+        out.data = self._ntt_convolve_jit(cd, ct1, ct2)
         out.correction_factor = (
             ct1.correction_factor * ct2.correction_factor % cd.parms.plain_modulus.value
         )
@@ -322,6 +359,15 @@ class Evaluator:
         ``target`` is one RNS polynomial (D, n) in the ciphertext's domain.
         """
         cd = self._cd(ct)
+        fn = self._jit(
+            ("switch_key", ct.parms_id, ct.size, cd.parms.scheme),
+            lambda data, tgt, kc0, kc1: self._switch_key_body(cd, ct.size, data, tgt, kc0, kc1),
+        )
+        out = ct.copy()
+        out.data = fn(ct.data, target, key["c0"], key["c1"])
+        return out
+
+    def _switch_key_body(self, cd: ContextData, ct_size: int, ct_data, target: U.U64, key_c0, key_c1):
         scheme = cd.parms.scheme
         key_cd = self.context.key_context_data()
         key_moduli = key_cd.coeff_modulus_values
@@ -360,7 +406,7 @@ class Evaluator:
                 jnp.concatenate([hi[:, :D, :], hi[:, k_key - 1 :, :]], axis=1),
             )
 
-        kc0, kc1 = sel(key["c0"]), sel(key["c1"])
+        kc0, kc1 = sel(key_c0), sel(key_c1)
 
         # Contraction over D with 128-bit accumulation.  For 60-bit user
         # moduli, D*4q*q < 2^128 holds up to D=64 (defines.h:66 rationale);
@@ -384,7 +430,7 @@ class Evaluator:
         qk = key_moduli[-1]
         last_tab = slice_limbs(key_tables, k_key - 1, k_key)
         dec_tab = slice_limbs(key_tables, 0, D)  # decomp moduli are key moduli[0:D]
-        out_polys = [ct.poly(j) for j in range(ct.size)]
+        out_polys = [(ct_data[0][j], ct_data[1][j]) for j in range(ct_size)]
 
         for comp, prod in ((0, prod0), (1, prod1)):
             t_last = (prod[0][D:], prod[1][D:])  # (1, n) NTT mod qk
@@ -444,9 +490,7 @@ class Evaluator:
 
             out_polys[comp] = U.add_mod(new, out_polys[comp], dq)
 
-        out = ct.copy()
-        out.data = _stack_polys(out_polys)
-        return out
+        return _stack_polys(out_polys)
 
     # ------------------------------------------------------------------
     # relinearize
@@ -485,19 +529,20 @@ class Evaluator:
         next_cd = cd.next_context_data
         if next_cd is None:
             raise ValueError("end of modulus switching chain reached")
-        tool = cd.rns_tool
-        tables = cd.limb_tables()
-        polys = []
-        for j in range(ct.size):
-            pj = ct.poly(j)
+        def body(data):
+            tool = cd.rns_tool
+            tables = cd.limb_tables()
             if scheme == SchemeType.BFV:
-                polys.append(R.divide_and_round_q_last(pj, tool))
+                op = lambda p: R.divide_and_round_q_last(p, tool)
             elif scheme == SchemeType.CKKS:
-                polys.append(R.divide_and_round_q_last_ntt(pj, tool, tables))
+                op = lambda p: R.divide_and_round_q_last_ntt(p, tool, tables)
             else:
-                polys.append(R.mod_t_and_divide_q_last_ntt(pj, tool, tables))
+                op = lambda p: R.mod_t_and_divide_q_last_ntt(p, tool, tables)
+            return _stack_polys([op((data[0][j], data[1][j])) for j in range(data[0].shape[0])])
+
+        fn = self._jit(("mod_switch_scale", ct.parms_id, ct.size), body)
         out = Ciphertext(
-            data=_stack_polys(polys),
+            data=fn(ct.data),
             parms_id=next_cd.parms_id,
             is_ntt_form=ct.is_ntt_form,
             scale=ct.scale,
@@ -656,12 +701,17 @@ class Evaluator:
         if ct.parms_id != plain.parms_id:
             raise ValueError("encrypted and plain parameter mismatch")
         cd = self._cd(ct)
-        t = cd.limb_tables()
-        pr = (plain.rns_data[0][None], plain.rns_data[1][None])  # (1, k, n)
-        out = ct.copy()
-        out.data = U.mul_mod(ct.data, pr, (t.q_lo[None], t.q_hi[None]),
+
+        def body(d, p_lo, p_hi):
+            t = cd.limb_tables()
+            pr = (p_lo[None], p_hi[None])  # (1, k, n)
+            return U.mul_mod(d, pr, (t.q_lo[None], t.q_hi[None]),
                              (t.ratio_lo_lo[None], t.ratio_lo_hi[None]),
                              (t.ratio_hi_lo[None], t.ratio_hi_hi[None]))
+
+        fn = self._jit(("mul_plain_ntt", ct.parms_id, ct.size), body)
+        out = ct.copy()
+        out.data = fn(ct.data, plain.rns_data[0], plain.rns_data[1])
         scale = ct.scale * plain.scale
         if not _is_scale_within_bounds(scale, cd):
             raise ValueError("scale out of bounds")
@@ -736,9 +786,11 @@ class Evaluator:
         if ct.is_ntt_form:
             raise ValueError("encrypted is already in NTT form")
         cd = self._cd(ct)
-        t = cd.limb_tables()
+        fn = self._jit(
+            ("to_ntt", ct.parms_id, ct.size), lambda d: NTT.ntt_forward(d, cd.limb_tables())
+        )
         out = ct.copy()
-        out.data = NTT.ntt_forward(ct.data, t)
+        out.data = fn(ct.data)
         out.is_ntt_form = True
         return out
 
@@ -746,9 +798,11 @@ class Evaluator:
         if not ct.is_ntt_form:
             raise ValueError("encrypted is not in NTT form")
         cd = self._cd(ct)
-        t = cd.limb_tables()
+        fn = self._jit(
+            ("from_ntt", ct.parms_id, ct.size), lambda d: NTT.ntt_inverse(d, cd.limb_tables())
+        )
         out = ct.copy()
-        out.data = NTT.ntt_inverse(ct.data, t)
+        out.data = fn(ct.data)
         out.is_ntt_form = False
         return out
 
@@ -767,18 +821,29 @@ class Evaluator:
         if not galois_keys.has_key(galois_elt):
             raise ValueError("Galois key not present")
         tool = cd.galois_tool
-        t = cd.limb_tables()
-        q2 = (t.q_lo[None], t.q_hi[None])
 
         if not ct.is_ntt_form:
             src, neg = tool.coeff_table(galois_elt)
             src_j, neg_j = jnp.asarray(src), jnp.asarray(neg)
-            c0 = P.apply_galois_coeff(ct.poly(0), src_j, neg_j, t.q)
-            c1 = P.apply_galois_coeff(ct.poly(1), src_j, neg_j, t.q)
+
+            def gal_body(d, s, ng):
+                t = cd.limb_tables()
+                c0 = P.apply_galois_coeff((d[0][0], d[1][0]), s, ng, t.q)
+                c1 = P.apply_galois_coeff((d[0][1], d[1][1]), s, ng, t.q)
+                return c0, c1
+
+            fn = self._jit(("galois_coeff", ct.parms_id), gal_body)
+            c0, c1 = fn(ct.data, src_j, neg_j)
         else:
             table = jnp.asarray(tool.ntt_table(galois_elt))
-            c0 = P.apply_galois_ntt(ct.poly(0), table)
-            c1 = P.apply_galois_ntt(ct.poly(1), table)
+
+            def gal_body(d, tab):
+                c0 = P.apply_galois_ntt((d[0][0], d[1][0]), tab)
+                c1 = P.apply_galois_ntt((d[0][1], d[1][1]), tab)
+                return c0, c1
+
+            fn = self._jit(("galois_ntt", ct.parms_id), gal_body)
+            c0, c1 = fn(ct.data, table)
 
         base = ct.copy()
         zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))

@@ -111,8 +111,6 @@ class HostBaseConverter:
     def device(self):
         """Device bundle: dict of uint32 arrays (built lazily, cached)."""
         if self._dev is None:
-            import jax.numpy as jnp
-
             ib, ob = self.ibase, self.obase
             inv_op, inv_qt = [], []
             for inv, q in zip(ib.inv_punctured, ib.values):
@@ -121,18 +119,18 @@ class HostBaseConverter:
                 inv_qt.append(s)
             mat_flat = [self.matrix[j][i] for j in range(ob.size) for i in range(ib.size)]
             d = {}
-            d["inv_punct_op"] = tuple(map(jnp.asarray, split_u64_array(inv_op)))
-            d["inv_punct_qt"] = tuple(map(jnp.asarray, split_u64_array(inv_qt)))
-            d["matrix"] = tuple(map(jnp.asarray, split_u64_array(mat_flat, (ob.size, ib.size))))
-            d["iq"] = tuple(map(jnp.asarray, split_u64_array(ib.values)))
-            d["oq"] = tuple(map(jnp.asarray, split_u64_array(ob.values)))
+            d["inv_punct_op"] = split_u64_array(inv_op)
+            d["inv_punct_qt"] = split_u64_array(inv_qt)
+            d["matrix"] = split_u64_array(mat_flat, (ob.size, ib.size))
+            d["iq"] = split_u64_array(ib.values)
+            d["oq"] = split_u64_array(ob.values)
             oratio = [(1 << 128) // v for v in ob.values]
-            d["oratio_lo"] = tuple(map(jnp.asarray, split_u64_array([r & ((1 << 64) - 1) for r in oratio])))
-            d["oratio_hi"] = tuple(map(jnp.asarray, split_u64_array([r >> 64 for r in oratio])))
+            d["oratio_lo"] = split_u64_array([r & ((1 << 64) - 1) for r in oratio])
+            d["oratio_hi"] = split_u64_array([r >> 64 for r in oratio])
             # For exact_convert: fixed-point 2^-128 reciprocal fractions of ibase
             iratio = [(1 << 128) // v for v in ib.values]
-            d["iratio_lo"] = tuple(map(jnp.asarray, split_u64_array([r & ((1 << 64) - 1) for r in iratio])))
-            d["iratio_hi"] = tuple(map(jnp.asarray, split_u64_array([r >> 64 for r in iratio])))
+            d["iratio_lo"] = split_u64_array([r & ((1 << 64) - 1) for r in iratio])
+            d["iratio_hi"] = split_u64_array([r >> 64 for r in iratio])
             d["q_mod_obase0"] = ib.base_prod % ob.values[0]
             self._dev = d
         return self._dev
@@ -230,8 +228,6 @@ class HostRNSTool:
     def device(self):
         """Lazily-built device constant dict for this tool."""
         if self._dev is None:
-            import jax.numpy as jnp
-
             def pairs(vals, qs):
                 ops, qts = [], []
                 for v, q in zip(vals, qs):
@@ -239,17 +235,17 @@ class HostRNSTool:
                     ops.append(o)
                     qts.append(s)
                 return (
-                    tuple(map(jnp.asarray, split_u64_array(ops))),
-                    tuple(map(jnp.asarray, split_u64_array(qts))),
+                    split_u64_array(ops),
+                    split_u64_array(qts),
                 )
 
             d = {}
             qv = self.base_q.values
             bskv = self.base_Bsk.values
             d["inv_prod_q_mod_Bsk"] = pairs(self.inv_prod_q_mod_Bsk, bskv)
-            d["prod_q_mod_Bsk"] = tuple(map(jnp.asarray, split_u64_array(self.prod_q_mod_Bsk)))
+            d["prod_q_mod_Bsk"] = split_u64_array(self.prod_q_mod_Bsk)
             d["inv_m_tilde_mod_Bsk"] = pairs(self.inv_m_tilde_mod_Bsk, bskv)
-            d["prod_B_mod_q"] = tuple(map(jnp.asarray, split_u64_array(self.prod_B_mod_q)))
+            d["prod_B_mod_q"] = split_u64_array(self.prod_B_mod_q)
             d["neg_prod_B_mod_q"] = pairs([(q - p) % q for p, q in zip(self.prod_B_mod_q, qv)], qv)
             d["prod_B_mod_q_shoup"] = pairs(self.prod_B_mod_q, qv)
             msk = self.m_sk.value
