@@ -1,0 +1,113 @@
+"""Serialization round-trip tests (mirrors ``tests/seal/serialization.cpp``
+and object-level save/load tests)."""
+
+import numpy as np
+import pytest
+
+from seal_tpu import serialization as S
+from seal_tpu.context import SealContext
+from seal_tpu.data import GaloisKeys, Plaintext, RelinKeys
+from seal_tpu.decryptor import Decryptor
+from seal_tpu.encryptor import Encryptor
+from seal_tpu.evaluator import Evaluator
+from seal_tpu.keygen import KeyGenerator
+from seal_tpu.modulus import CoeffModulus, PlainModulus, SecurityLevel
+from seal_tpu.params import EncryptionParameters, SchemeType
+
+
+@pytest.fixture(scope="module")
+def setup():
+    parms = EncryptionParameters(SchemeType.BFV)
+    parms.set_poly_modulus_degree(64)
+    parms.set_plain_modulus(PlainModulus.batching(64, 20).value)
+    parms.set_coeff_modulus(CoeffModulus.create(64, [40, 40, 40]))
+    ctx = SealContext(parms, True, SecurityLevel.NONE)
+    keygen = KeyGenerator(ctx)
+    return ctx, parms, keygen
+
+
+def test_header_roundtrip():
+    data = b"hello seal tpu" * 10
+    for mode in (S.COMPR_NONE, S.COMPR_ZLIB):
+        blob = S.save_header_wrapped(data, mode)
+        out, consumed = S.load_header_wrapped(blob)
+        assert out == data and consumed == len(blob)
+    with pytest.raises(ValueError):
+        S.load_header_wrapped(b"\x00" * 16)
+
+
+def test_params_roundtrip(setup):
+    ctx, parms, _ = setup
+    blob = S.params_save(parms)
+    out, _ = S.params_load(blob)
+    assert out.parms_id == parms.parms_id
+
+
+def test_plaintext_roundtrip(setup):
+    ctx, parms, _ = setup
+    p = Plaintext.from_hex("3x^5 + 2x^1 + 1")
+    blob = S.plaintext_save(p)
+    out, _ = S.plaintext_load(blob, ctx)
+    assert out.to_string() == p.to_string()
+
+
+def test_ciphertext_roundtrip(setup):
+    ctx, parms, keygen = setup
+    enc = Encryptor(ctx, secret_key=keygen.secret_key)
+    dec = Decryptor(ctx, keygen.secret_key)
+    p = Plaintext.from_hex("7x^9 + 5x^2 + 4")
+    ct = enc.encrypt_symmetric(p)
+    blob = S.ciphertext_save(ct)
+    out, _ = S.ciphertext_load(blob, ctx)
+    assert dec.decrypt(out).to_string() == p.to_string()
+
+
+def test_seeded_ciphertext_roundtrip(setup):
+    """Seeded save stores half the data; load must expand via the PRNG."""
+    ctx, parms, keygen = setup
+    enc = Encryptor(ctx, secret_key=keygen.secret_key)
+    dec = Decryptor(ctx, keygen.secret_key)
+    p = Plaintext.from_hex("1x^10 + 2")
+    ct = enc.encrypt_symmetric(p, save_seed=True)
+    blob_seeded = S.ciphertext_save(ct)
+    ct_full = enc.encrypt_symmetric(p, save_seed=False)
+    blob_full = S.ciphertext_save(ct_full)
+    # seeded representation is roughly half the size
+    assert len(blob_seeded) < 0.7 * len(blob_full)
+    out, _ = S.ciphertext_load(blob_seeded, ctx)
+    assert dec.decrypt(out).to_string() == p.to_string()
+
+
+def test_key_roundtrips(setup):
+    ctx, parms, keygen = setup
+    # secret key
+    blob = S.secret_key_save(keygen.secret_key)
+    sk2, _ = S.secret_key_load(blob, ctx)
+    dec2 = Decryptor(ctx, sk2)
+    enc = Encryptor(ctx, secret_key=keygen.secret_key)
+    p = Plaintext.from_hex("5x^3 + 1")
+    assert dec2.decrypt(enc.encrypt_symmetric(p)).to_string() == p.to_string()
+    # public key
+    pk = keygen.create_public_key()
+    pk2, _ = S.public_key_load(S.public_key_save(pk), ctx)
+    enc2 = Encryptor(ctx, public_key=pk2)
+    assert dec2.decrypt(enc2.encrypt(p)).to_string() == p.to_string()
+    # relin keys
+    rk = keygen.create_relin_keys()
+    rk2, _ = S.kswitch_keys_load(S.kswitch_keys_save(rk, ctx), ctx, RelinKeys)
+    ev = Evaluator(ctx)
+    prod = ev.relinearize(ev.multiply(enc.encrypt_symmetric(p), enc.encrypt_symmetric(p)), rk2)
+    assert dec2.decrypt(prod).to_string() == "19x^6 + ax^3 + 1"
+    # galois keys
+    gk = keygen.create_galois_keys()
+    gk2, _ = S.kswitch_keys_load(S.kswitch_keys_save(gk, ctx), ctx, GaloisKeys)
+    from seal_tpu.encoders import BatchEncoder
+
+    be = BatchEncoder(ctx)
+    vals = list(range(64))
+    ct = enc.encrypt_symmetric(be.encode(vals))
+    rot = ev.rotate_rows(ct, 1, gk2)
+    got = be.decode(dec2.decrypt(rot))
+    row = vals[:32]
+    want = row[1:] + row[:1]
+    assert got == want + [v + 32 for v in want]
