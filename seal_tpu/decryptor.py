@@ -31,6 +31,16 @@ class Decryptor:
         self.context = context
         self._sk_array: List[U.U64] = [secret_key.data]  # powers of s, NTT, key level
 
+    def _tail_jit(self, key, builder):
+        import jax
+
+        cache = self.context._jit_cache
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(builder)
+            cache[key] = fn
+        return fn
+
     def _secret_key_power(self, power: int) -> U.U64:
         cd = self.context.key_context_data()
         t = cd.limb_tables()
@@ -41,24 +51,40 @@ class Decryptor:
 
     def _dot_product_ct_sk(self, ct: Ciphertext) -> U.U64:
         """c0 + c1*s + ... in the ciphertext's (NTT or coeff) domain."""
+        import jax
+        import jax.numpy as jnp
+
         cd = self.context.get_context_data(ct.parms_id)
-        t = cd.limb_tables()
         k = ct.coeff_modulus_size
         size = ct.size
+        is_ntt = ct.is_ntt_form
         self._secret_key_power(size - 1)
+        sk_stack = (
+            jnp.stack([p[0] for p in self._sk_array[: size - 1]]),
+            jnp.stack([p[1] for p in self._sk_array[: size - 1]]),
+        )
 
-        acc = None
-        for j in range(1, size):
-            cj = ct.poly(j)
-            if not ct.is_ntt_form:
-                cj = NTT.ntt_forward(cj, t, lazy=True)
-            sk_j = self._sk_array[j - 1]
-            sk_j = (sk_j[0][:k], sk_j[1][:k])
-            prod = U.mul_mod(cj, sk_j, t.q, t.ratio_lo, t.ratio_hi)
-            acc = prod if acc is None else U.add_mod(acc, prod, t.q)
-        if not ct.is_ntt_form:
-            acc = NTT.ntt_inverse(acc, t)
-        return U.add_mod(acc, ct.poly(0), t.q)
+        def body(data, sks):
+            t = cd.limb_tables()
+            acc = None
+            for j in range(1, size):
+                cj = (data[0][j], data[1][j])
+                if not is_ntt:
+                    cj = NTT.ntt_forward(cj, t, lazy=True)
+                sk_j = (sks[0][j - 1][:k], sks[1][j - 1][:k])
+                prod = U.mul_mod(cj, sk_j, t.q, t.ratio_lo, t.ratio_hi)
+                acc = prod if acc is None else U.add_mod(acc, prod, t.q)
+            if not is_ntt:
+                acc = NTT.ntt_inverse(acc, t)
+            return U.add_mod(acc, (data[0][0], data[1][0]), t.q)
+
+        cache = self.context._jit_cache
+        key = ("dot_ct_sk", ct.parms_id, size, is_ntt)
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(body)
+            cache[key] = fn
+        return fn(ct.data, sk_stack)
 
     def decrypt(self, ct: Ciphertext) -> Plaintext:
         if ct.size < 2:
@@ -77,7 +103,10 @@ class Decryptor:
             raise ValueError("encrypted cannot be in NTT form")
         cd = self.context.get_context_data(ct.parms_id)
         phase = self._dot_product_ct_sk(ct)
-        out = R.decrypt_scale_and_round(phase, cd.rns_tool)
+        tail = self._tail_jit(
+            ("bfv_dec_tail", ct.parms_id), lambda p: R.decrypt_scale_and_round(p, cd.rns_tool)
+        )
+        out = tail(phase)
         coeffs = U.to_np_u64(out)[0]
         sig = np.nonzero(coeffs)[0]
         count = int(sig[-1]) + 1 if len(sig) else 1
@@ -97,10 +126,12 @@ class Decryptor:
         if not ct.is_ntt_form:
             raise ValueError("encrypted must be in NTT form")
         cd = self.context.get_context_data(ct.parms_id)
-        t = cd.limb_tables()
         phase = self._dot_product_ct_sk(ct)
-        phase = NTT.ntt_inverse(phase, t)
-        out = R.decrypt_modt(phase, cd.rns_tool)
+        tail = self._tail_jit(
+            ("bgv_dec_tail", ct.parms_id),
+            lambda p: R.decrypt_modt(NTT.ntt_inverse(p, cd.limb_tables()), cd.rns_tool),
+        )
+        out = tail(phase)
         coeffs = U.to_np_u64(out)[0]
         tv = cd.parms.plain_modulus.value
         if ct.correction_factor != 1:

@@ -89,10 +89,15 @@ def _is_scale_within_bounds(scale: float, cd: ContextData) -> bool:
 
 
 class Evaluator:
-    def __init__(self, context: SealContext):
+    def __init__(self, context: SealContext, throw_on_transparent: bool = True):
+        """``throw_on_transparent`` mirrors the reference's
+        SEAL_THROW_ON_TRANSPARENT_CIPHERTEXT build option (default ON).  On
+        TPU the check forces a device sync per op, so latency-critical
+        pipelines may disable it."""
         if not context.parameters_set:
             raise ValueError("encryption parameters are not set correctly")
         self.context = context
+        self.throw_on_transparent = throw_on_transparent
 
     def _jit(self, key, builder):
         """Cache jit-compiled op bodies per (op, level, shape) key.
@@ -121,7 +126,7 @@ class Evaluator:
         return cd
 
     def _check_transparent(self, ct: Ciphertext):
-        if THROW_ON_TRANSPARENT and ct.is_transparent():
+        if THROW_ON_TRANSPARENT and self.throw_on_transparent and ct.is_transparent():
             raise ValueError("result ciphertext is transparent")
 
     @staticmethod

@@ -27,6 +27,17 @@ def _stack(polys) -> U.U64:
     return jnp.stack(los), jnp.stack(his)
 
 
+def _jit(context, key, builder):
+    cache = context._jit_cache
+    fn = cache.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(builder)
+        cache[key] = fn
+    return fn
+
+
 def encrypt_zero_symmetric(
     secret_key: SecretKey,
     context: SealContext,
@@ -58,41 +69,46 @@ def encrypt_zero_symmetric(
     ciphertext_prng = UniformRandomGeneratorFactory.default_factory().create(public_seed)
 
     c1_np = sample_poly_uniform(ciphertext_prng, n, moduli)
-    c1 = c1_sampled = U.from_np_u64(c1_np)
-    if not is_ntt_form and save_seed:
-        # sampled value is the non-NTT form; transform for computing c0
-        c1 = NTT.ntt_forward(c1, t)
-
     noise_np = sample_poly_noise(bootstrap_prng, n, moduli)
-    noise = U.from_np_u64(noise_np)
-
-    # sk is stored NTT-form at key level; restrict to this level's limbs
     k = len(moduli)
-    sk = (secret_key.data[0][:k], secret_key.data[1][:k])
 
-    c0 = U.mul_mod(sk, c1, t.q, t.ratio_lo, t.ratio_hi)
-    if is_ntt_form:
-        noise = NTT.ntt_forward(noise, t)
-    else:
-        c0 = NTT.ntt_inverse(c0, t)
-    if scheme == SchemeType.BGV:
-        # noise = t_plain * e
-        from .ops.rns import _cshoup
+    def body(c1_in, noise, sk_full):
+        c1 = c1_in
+        if not is_ntt_form and save_seed:
+            # sampled value is the non-NTT form; transform for computing c0
+            c1 = NTT.ntt_forward(c1, t)
+        # sk is stored NTT-form at key level; restrict to this level's limbs
+        sk = (sk_full[0][:k], sk_full[1][:k])
+        c0 = U.mul_mod(sk, c1, t.q, t.ratio_lo, t.ratio_hi)
+        e = noise
+        if is_ntt_form:
+            e = NTT.ntt_forward(e, t)
+        else:
+            c0 = NTT.ntt_inverse(c0, t)
+        if scheme == SchemeType.BGV:
+            # noise = t_plain * e
+            from .ops.rns import _cshoup
 
-        tv = parms.plain_modulus.value
-        op, qt = _cshoup([tv % q for q in moduli], moduli)
-        noise = U.mul_mod_shoup(noise, op, qt, t.q)
-    c0 = U.add_mod(noise, c0, t.q)
-    c0 = U.neg_mod(c0, t.q)
+            tv = parms.plain_modulus.value
+            op, qt = _cshoup([tv % q for q in moduli], moduli)
+            e = U.mul_mod_shoup(e, op, qt, t.q)
+        c0 = U.add_mod(e, c0, t.q)
+        c0 = U.neg_mod(c0, t.q)
+        c1_out = c1_in
+        if not is_ntt_form:
+            # Non-NTT storage: the sampled polynomial IS the coefficient form
+            # (what the saved seed regenerates).
+            c1_out = c1_in if save_seed else NTT.ntt_inverse(c1, t)
+        elif not save_seed:
+            c1_out = c1
+        else:
+            c1_out = c1  # NTT form sampled directly
+        return jnp.stack([c0[0], c1_out[0]]), jnp.stack([c0[1], c1_out[1]])
 
-    if not is_ntt_form:
-        # Non-NTT storage: the sampled polynomial IS the coefficient form
-        # (what the saved seed regenerates); avoid a redundant iNTT when we
-        # still have it.
-        c1 = c1_sampled if save_seed else NTT.ntt_inverse(c1, t)
-
+    fn = _jit(context, ("enc_zero_sym", parms_id, is_ntt_form, save_seed), body)
+    data = fn(U.from_np_u64(c1_np), U.from_np_u64(noise_np), secret_key.data)
     ct = Ciphertext(
-        data=(jnp.stack([c0[0], c1[0]]), jnp.stack([c0[1], c1[1]])),
+        data=data,
         parms_id=parms_id,
         is_ntt_form=is_ntt_form,
         scale=1.0,
@@ -122,35 +138,37 @@ def encrypt_zero_asymmetric(
     prng = parms.random_generator.create()
 
     u_np = sample_poly_ternary(prng, n, moduli)
-    u = NTT.ntt_forward(U.from_np_u64(u_np), t)
+    noise_np = np.stack([sample_poly_noise(prng, n, moduli) for _ in range(size)])
 
-    polys = []
-    for j in range(size):
-        pk_j = public_key.data.poly(j)
-        pk_j = (pk_j[0][:k], pk_j[1][:k])
-        c_j = U.mul_mod(u, pk_j, t.q, t.ratio_lo, t.ratio_hi)
-        if not is_ntt_form:
-            c_j = NTT.ntt_inverse(c_j, t)
-        polys.append(c_j)
+    def body(u_in, noises, pk_data):
+        u = NTT.ntt_forward(u_in, t)
+        polys = []
+        for j in range(size):
+            pk_j = (pk_data[0][j][:k], pk_data[1][j][:k])
+            c_j = U.mul_mod(u, pk_j, t.q, t.ratio_lo, t.ratio_hi)
+            if not is_ntt_form:
+                c_j = NTT.ntt_inverse(c_j, t)
+            polys.append(c_j)
+        for j in range(size):
+            e = (noises[0][j], noises[1][j])
+            if scheme == SchemeType.BGV:
+                if is_ntt_form:
+                    e = NTT.ntt_forward(e, t, lazy=True)
+                from .ops.rns import _cshoup
 
-    for j in range(size):
-        e_np = sample_poly_noise(prng, n, moduli)
-        e = U.from_np_u64(e_np)
-        if scheme == SchemeType.BGV:
-            if is_ntt_form:
-                e = NTT.ntt_forward(e, t, lazy=True)
-            from .ops.rns import _cshoup
+                tv = parms.plain_modulus.value
+                op, qt = _cshoup([tv % q for q in moduli], moduli)
+                e = U.mul_mod_shoup(e, op, qt, t.q)
+            else:
+                if is_ntt_form:
+                    e = NTT.ntt_forward(e, t)
+            polys[j] = U.add_mod(e, polys[j], t.q)
+        return _stack(polys)
 
-            tv = parms.plain_modulus.value
-            op, qt = _cshoup([tv % q for q in moduli], moduli)
-            e = U.mul_mod_shoup(e, op, qt, t.q)
-        else:
-            if is_ntt_form:
-                e = NTT.ntt_forward(e, t)
-        polys[j] = U.add_mod(e, polys[j], t.q)
-
+    fn = _jit(context, ("enc_zero_asym", parms_id, is_ntt_form, size), body)
+    data = fn(U.from_np_u64(u_np), U.from_np_u64(noise_np), public_key.data.data)
     return Ciphertext(
-        data=_stack(polys),
+        data=data,
         parms_id=parms_id,
         is_ntt_form=is_ntt_form,
         scale=1.0,
