@@ -152,17 +152,28 @@ class CKKSEncoder:
             raise ValueError("encoded values are too large")
 
         # Round half away from zero, exact integers via Python ints
-        rounded = [
-            int(math.floor(abs(c) + 0.5)) * (-1 if c < 0 or (c == 0 and math.copysign(1, c) < 0) else 1)
-            for c in coeffs
-        ]
         qv = cd.coeff_modulus_values
         k = len(qv)
         rns = np.zeros((k, n), dtype=np.uint64)
-        for j, q in enumerate(qv):
-            rns[j] = np.array([r % q for r in rounded], dtype=np.uint64)
+        if max_coeff_bits <= 52:
+            # Fast path: coefficients fit a double exactly; vectorized numpy
+            neg = np.signbit(coeffs)
+            absr = np.floor(np.abs(coeffs) + 0.5).astype(np.uint64)
+            for j, q in enumerate(qv):
+                red = absr % np.uint64(q)
+                rns[j] = np.where(neg, (np.uint64(q) - red) % np.uint64(q), red)
+        else:
+            rounded = [
+                int(math.floor(abs(c) + 0.5)) * (-1 if c < 0 else 1) for c in coeffs
+            ]
+            for j, q in enumerate(qv):
+                rns[j] = np.array([r % q for r in rounded], dtype=np.uint64)
 
-        ntt_data = NTT.ntt_forward(U.from_np_u64(rns), cd.limb_tables())
+        from .context import jit_cached
+
+        fwd = jit_cached(cd, ("ckks_encode_ntt", cd.parms_id),
+                         lambda d: NTT.ntt_forward(d, cd.limb_tables()))
+        ntt_data = fwd(U.from_np_u64(rns))
         p = Plaintext()
         p.parms_id = parms_id
         p.scale = scale
@@ -232,8 +243,11 @@ class CKKSEncoder:
             raise ValueError("scale out of bounds")
 
         n = self.n
-        coeff_poly = NTT.ntt_inverse(plain.rns_data, cd.limb_tables())
-        residues = U.to_np_u64(coeff_poly)
+        from .context import jit_cached
+
+        intt = jit_cached(cd, ("ckks_decode_intt", cd.parms_id),
+                          lambda d: NTT.ntt_inverse(d, cd.limb_tables()))
+        residues = U.to_np_u64(intt(plain.rns_data))
         q_total = cd.total_coeff_modulus
         values = cd.base_q.compose_array(residues)
         upper_half = cd.upper_half_threshold

@@ -84,6 +84,27 @@ class EncryptionParameterQualifiers:
 from .ntt_tables import cached_host_ntt_tables as cached_ntt_tables
 
 
+def jit_cached(holder, key: tuple, builder):
+    """Fetch or create a jit-compiled closure in the holder's op cache.
+
+    ``holder`` is any object with a ``_jit_cache`` dict (SealContext or
+    ContextData).
+
+    All device math in the library goes through here — eager dispatch of the
+    u64-lane kernels is ~1000x slower than compiled execution, so every hot
+    path (evaluator ops, keygen, encrypt/decrypt, encoders) compiles once per
+    (op, level, shape) key and reuses the executable.
+    """
+    cache = holder._jit_cache
+    fn = cache.get(key)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(builder)
+        cache[key] = fn
+    return fn
+
+
 class GaloisTool:
     """Automorphism helper with cached permutation tables (``util/galois.cpp``)."""
 

@@ -181,6 +181,19 @@ class SecretKey:
         self.data = data  # (k_key, n) NTT form
         self.parms_id = parms_id
 
+    def zeroize(self):
+        """Best-effort secret erasure (the reference's clear_on_destruction
+        pool semantic, memorymanager.h).  Drops the device buffers and
+        replaces them with zeros; device memory is freed by the runtime.
+        Host-side copies made by the caller are the caller's responsibility.
+        """
+        if self.data is not None:
+            import jax.numpy as jnp
+
+            shape = self.data[0].shape
+            self.data = (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32))
+        self.parms_id = PARMS_ID_ZERO
+
 
 class PublicKey:
     """Encryption of zero in NTT form at the key level (``publickey.h:268``)."""

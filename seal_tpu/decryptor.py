@@ -43,10 +43,12 @@ class Decryptor:
 
     def _secret_key_power(self, power: int) -> U.U64:
         cd = self.context.key_context_data()
-        t = cd.limb_tables()
+        mul = self._tail_jit(
+            ("sk_power_mul", cd.parms_id),
+            lambda a, b: U.mul_mod(a, b, cd.limb_tables().q, cd.limb_tables().ratio_lo, cd.limb_tables().ratio_hi),
+        )
         while len(self._sk_array) < power:
-            prev = self._sk_array[-1]
-            self._sk_array.append(U.mul_mod(prev, self._sk_array[0], t.q, t.ratio_lo, t.ratio_hi))
+            self._sk_array.append(mul(self._sk_array[-1], self._sk_array[0]))
         return self._sk_array[power - 1]
 
     def _dot_product_ct_sk(self, ct: Ciphertext) -> U.U64:

@@ -60,7 +60,11 @@ class BatchEncoder:
                 raise ValueError("input value is larger than plain_modulus")
         buf = np.zeros(self.slots, dtype=np.uint64)
         buf[self.index_map[: len(values)]] = np.asarray(values, dtype=np.uint64)
-        out = NTT.ntt_inverse(U.from_np_u64(buf[None, :]), cd.plain_limb_tables())
+        from .context import jit_cached
+
+        intt = jit_cached(cd, ("plain_intt", cd.parms_id),
+                          lambda d: NTT.ntt_inverse(d, cd.plain_limb_tables()))
+        out = intt(U.from_np_u64(buf[None, :]))
         return Plaintext.from_coeffs(U.to_np_u64(out)[0])
 
     def encode_int64(self, values: Sequence[int]) -> Plaintext:
@@ -82,8 +86,11 @@ class BatchEncoder:
         buf = np.zeros(self.slots, dtype=np.uint64)
         data = plain.coeff_data[: self.slots]
         buf[: len(data)] = data
-        ntt = NTT.ntt_forward(U.from_np_u64(buf[None, :]), cd.plain_limb_tables())
-        vals = U.to_np_u64(ntt)[0]
+        from .context import jit_cached
+
+        fwd = jit_cached(cd, ("plain_ntt", cd.parms_id),
+                         lambda d: NTT.ntt_forward(d, cd.plain_limb_tables()))
+        vals = U.to_np_u64(fwd(U.from_np_u64(buf[None, :])))[0]
         return [int(vals[self.index_map[i]]) for i in range(self.slots)]
 
     def decode_int64(self, plain: Plaintext) -> List[int]:

@@ -31,30 +31,35 @@ def _scaling_variant_fix(plain: Plaintext, cd: ContextData) -> np.ndarray:
 
 def multiply_add_plain_with_scaling_variant(plain: Plaintext, cd: ContextData, c0: U.U64, negate: bool = False) -> U.U64:
     """c0 +/- (Delta*m + fix), only over the first plain_coeff_count coeffs."""
-    from .ops.rns import _cshoup
+    from .context import jit_cached
 
     n = cd.parms.poly_modulus_degree
-    qv = cd.coeff_modulus_values
-    t = cd.limb_tables()
     m_np = np.zeros(n, dtype=np.uint64)
     count = len(plain.coeff_data)
     m_np[:count] = plain.coeff_data
     fix_np = np.zeros(n, dtype=np.uint64)
     fix_np[:count] = _scaling_variant_fix(plain, cd)
 
-    m = U.from_np_u64(m_np[None, :])      # (1, n)
-    fix = U.from_np_u64(fix_np[None, :])  # (1, n)
-    delta_op, delta_qt = _cshoup(cd.coeff_div_plain_modulus, qv)
-    scaled = U.mul_mod_shoup(m, delta_op, delta_qt, t.q)  # (k, n)
-    fix_red = U.barrett_reduce_64(fix, t.q, t.ratio_hi)
-    term = U.add_mod(scaled, fix_red, t.q)
-    if negate:
-        return U.sub_mod(c0, term, t.q)
-    return U.add_mod(c0, term, t.q)
+    def body(c0_in, m, fix):
+        from .ops.rns import _cshoup
+
+        qv = cd.coeff_modulus_values
+        t = cd.limb_tables()
+        delta_op, delta_qt = _cshoup(cd.coeff_div_plain_modulus, qv)
+        scaled = U.mul_mod_shoup(m, delta_op, delta_qt, t.q)  # (k, n)
+        fix_red = U.barrett_reduce_64(fix, t.q, t.ratio_hi)
+        term = U.add_mod(scaled, fix_red, t.q)
+        return U.sub_mod(c0_in, term, t.q) if negate else U.add_mod(c0_in, term, t.q)
+
+    fn = jit_cached(cd, ("scaling_variant", cd.parms_id, negate), body)
+    return fn(c0, U.from_np_u64(m_np[None, :]), U.from_np_u64(fix_np[None, :]))
 
 
 def bgv_lift_plain(plain: Plaintext, cd: ContextData) -> U.U64:
-    """Lift mod-t plaintext into RNS mod q and NTT-transform (BGV encrypt)."""
+    """Lift mod-t plaintext into RNS mod q and NTT-transform (BGV encrypt
+    and the plain-operand paths of multiply_plain / transform_to_ntt)."""
+    from .context import jit_cached
+
     n = cd.parms.poly_modulus_degree
     qv = cd.coeff_modulus_values
     thr = cd.plain_upper_half_threshold
@@ -63,16 +68,17 @@ def bgv_lift_plain(plain: Plaintext, cd: ContextData) -> U.U64:
     k = len(qv)
     out = np.zeros((k, n), dtype=np.uint64)
     if cd.qualifiers.using_fast_plain_lift:
+        # vectorized: coeff >= (t+1)/2 lifts by q_i - t per limb
+        big = m >= np.uint64(thr)
         for i, (q, inc) in enumerate(zip(qv, cd.plain_upper_half_increment)):
-            vals = m.astype(object)
-            out[i] = np.array(
-                [int(v) + inc if int(v) >= thr else int(v) for v in vals], dtype=np.uint64
-            )
+            out[i] = np.where(big, m + np.uint64(inc), m)
     else:
         total_inc = cd.total_coeff_modulus - cd.parms.plain_modulus.value
         lifted = [int(v) + total_inc if int(v) >= thr else int(v) for v in m]
         out = cd.base_q.decompose_array(np.array(lifted, dtype=object))
-    return NTT.ntt_forward(U.from_np_u64(out), cd.limb_tables())
+    fwd = jit_cached(cd, ("plain_lift_ntt", cd.parms_id),
+                     lambda d: NTT.ntt_forward(d, cd.limb_tables()))
+    return fwd(U.from_np_u64(out))
 
 
 class Encryptor:
@@ -137,19 +143,16 @@ class Encryptor:
         return self._encrypt_internal(plain, is_asymmetric=False, save_seed=save_seed)
 
     def _encrypt_internal(self, plain: Plaintext, is_asymmetric: bool, save_seed: bool) -> Ciphertext:
+        from .context import jit_cached
+
         scheme = self.context.key_context_data().parms.scheme
         if scheme == SchemeType.BFV:
             if plain.is_ntt_form:
                 raise ValueError("plain cannot be in NTT form")
             ct = self._encrypt_zero_internal(self.context.first_parms_id, is_asymmetric, save_seed)
             cd = self.context.first_context_data()
-            c0 = ct.poly(0)
-            c0 = multiply_add_plain_with_scaling_variant(plain, cd, c0, negate=False)
-            import jax.numpy as jnp
-
-            lo = ct.data[0].at[0].set(c0[0])
-            hi = ct.data[1].at[0].set(c0[1])
-            ct.data = (lo, hi)
+            c0 = multiply_add_plain_with_scaling_variant(plain, cd, ct.poly(0), negate=False)
+            ct.data = self._set_c0(cd, ct.data, c0)
             return ct
         elif scheme == SchemeType.CKKS:
             if not plain.is_ntt_form:
@@ -158,11 +161,11 @@ class Encryptor:
             if cd is None:
                 raise ValueError("plain is not valid for encryption parameters")
             ct = self._encrypt_zero_internal(plain.parms_id, is_asymmetric, save_seed)
-            t = cd.limb_tables()
-            c0 = U.add_mod(ct.poly(0), plain.rns_data, t.q)
-            lo = ct.data[0].at[0].set(c0[0])
-            hi = ct.data[1].at[0].set(c0[1])
-            ct.data = (lo, hi)
+            fn = jit_cached(
+                cd, ("encrypt_add_plain", cd.parms_id),
+                lambda d, p: self._set_c0(cd, d, U.add_mod((d[0][0], d[1][0]), p, cd.limb_tables().q)),
+            )
+            ct.data = fn(ct.data, plain.rns_data)
             ct.scale = plain.scale
             return ct
         elif scheme == SchemeType.BGV:
@@ -170,11 +173,15 @@ class Encryptor:
                 raise ValueError("plain cannot be in NTT form")
             ct = self._encrypt_zero_internal(self.context.first_parms_id, is_asymmetric, save_seed)
             cd = self.context.first_context_data()
-            t = cd.limb_tables()
             lifted = bgv_lift_plain(plain, cd)
-            c0 = U.add_mod(ct.poly(0), lifted, t.q)
-            lo = ct.data[0].at[0].set(c0[0])
-            hi = ct.data[1].at[0].set(c0[1])
-            ct.data = (lo, hi)
+            fn = jit_cached(
+                cd, ("encrypt_add_plain", cd.parms_id),
+                lambda d, p: self._set_c0(cd, d, U.add_mod((d[0][0], d[1][0]), p, cd.limb_tables().q)),
+            )
+            ct.data = fn(ct.data, lifted)
             return ct
         raise ValueError("unsupported scheme")
+
+    @staticmethod
+    def _set_c0(cd, data, c0):
+        return (data[0].at[0].set(c0[0]), data[1].at[0].set(c0[1]))

@@ -655,12 +655,19 @@ class Evaluator:
 
         cd = self._cd(ct)
         scheme = cd.parms.scheme
-        t = cd.limb_tables()
         out = ct.copy()
+
+        def set_c0_op(d, p):
+            t = cd.limb_tables()
+            op = U.add_mod if is_add else U.sub_mod
+            c0 = op((d[0][0], d[1][0]), p, t.q)
+            return (d[0].at[0].set(c0[0]), d[1].at[0].set(c0[1]))
+
         if scheme == SchemeType.BFV:
             if ct.is_ntt_form or plain.is_ntt_form:
                 raise ValueError("BFV operands cannot be in NTT form")
             c0 = multiply_add_plain_with_scaling_variant(plain, cd, ct.poly(0), negate=not is_add)
+            out.data = (ct.data[0].at[0].set(c0[0]), ct.data[1].at[0].set(c0[1]))
         elif scheme == SchemeType.CKKS:
             if not ct.is_ntt_form or not plain.is_ntt_form:
                 raise ValueError("CKKS operands must be in NTT form")
@@ -668,8 +675,8 @@ class Evaluator:
                 raise ValueError("encrypted and plain parameter mismatch")
             if not np.isclose(ct.scale, plain.scale, rtol=1e-12):
                 raise ValueError("scale mismatch")
-            op = U.add_mod if is_add else U.sub_mod
-            c0 = op(ct.poly(0), plain.rns_data, t.q)
+            fn = self._jit(("add_sub_plain", ct.parms_id, ct.size, is_add), set_c0_op)
+            out.data = fn(ct.data, plain.rns_data)
         elif scheme == SchemeType.BGV:
             if not ct.is_ntt_form:
                 raise ValueError("BGV encrypted must be in NTT form")
@@ -681,11 +688,10 @@ class Evaluator:
                 [int(c) * ct.correction_factor % tv for c in plain.coeff_data], dtype=np.uint64
             )
             lifted = bgv_lift_plain(scaled, cd)
-            op = U.add_mod if is_add else U.sub_mod
-            c0 = op(ct.poly(0), lifted, t.q)
+            fn = self._jit(("add_sub_plain", ct.parms_id, ct.size, is_add), set_c0_op)
+            out.data = fn(ct.data, lifted)
         else:
             raise ValueError("unsupported scheme")
-        out.data = (ct.data[0].at[0].set(c0[0]), ct.data[1].at[0].set(c0[1]))
         self._check_transparent(out)
         return out
 
@@ -743,26 +749,38 @@ class Evaluator:
             qv = cd.coeff_modulus_values
             if coeff >= thr:
                 if not cd.qualifiers.using_fast_plain_lift:
-                    lifted = coeff + (cd.total_coeff_modulus - cd.parms.plain_modulus.value)
-                    mono = [lifted % q for q in qv]
+                    lifted_c = coeff + (cd.total_coeff_modulus - cd.parms.plain_modulus.value)
+                    mono = [lifted_c % q for q in qv]
                 else:
                     mono = [(coeff + inc) % q for q, inc in zip(qv, cd.plain_upper_half_increment)]
             else:
                 mono = [coeff % q for q in qv]
+
+            def mono_body(d, mono_lo, mono_hi):
+                tt = cd.limb_tables()
+                scaled = U.mul_mod(
+                    d, (mono_lo[None], mono_hi[None]), (tt.q_lo[None], tt.q_hi[None]),
+                    (tt.ratio_lo_lo[None], tt.ratio_lo_hi[None]), (tt.ratio_hi_lo[None], tt.ratio_hi_hi[None]),
+                )
+                return P.negacyclic_shift(scaled, exp, (tt.q_lo[None], tt.q_hi[None]))
+
+            fn = self._jit(("mul_plain_mono", ct.parms_id, ct.size, exp), mono_body)
             mono_c = _c(mono)
-            scaled = U.mul_mod(
-                ct.data, (mono_c[0][None], mono_c[1][None]), (t.q_lo[None], t.q_hi[None]),
-                (t.ratio_lo_lo[None], t.ratio_lo_hi[None]), (t.ratio_hi_lo[None], t.ratio_hi_hi[None]),
-            )
-            out.data = P.negacyclic_shift(scaled, exp, (t.q_lo[None], t.q_hi[None]))
+            out.data = fn(ct.data, mono_c[0], mono_c[1])
         else:
             lifted = bgv_lift_plain(plain, cd)  # (k, n) NTT form of lifted plain
-            polys = []
-            for j in range(ct.size):
-                pj = NTT.ntt_forward(ct.poly(j), t, lazy=True)
-                pj = U.mul_mod(pj, lifted, t.q, t.ratio_lo, t.ratio_hi)
-                polys.append(NTT.ntt_inverse(pj, t))
-            out.data = _stack_polys(polys)
+
+            def gen_body(d, p):
+                tt = cd.limb_tables()
+                polys = []
+                for j in range(d[0].shape[0]):
+                    pj = NTT.ntt_forward((d[0][j], d[1][j]), tt, lazy=True)
+                    pj = U.mul_mod(pj, p, tt.q, tt.ratio_lo, tt.ratio_hi)
+                    polys.append(NTT.ntt_inverse(pj, tt))
+                return _stack_polys(polys)
+
+            fn = self._jit(("mul_plain_normal", ct.parms_id, ct.size), gen_body)
+            out.data = fn(ct.data, lifted)
         scale = ct.scale * plain.scale
         if not _is_scale_within_bounds(scale, cd):
             raise ValueError("scale out of bounds")

@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .context import SealContext
+from .context import SealContext, jit_cached
 from .data import GaloisKeys, KSwitchKeys, PublicKey, RelinKeys, SecretKey
 from .ops import ntt as NTT
 from .ops import poly as P
@@ -37,7 +37,9 @@ class KeyGenerator:
             parms = cd.parms
             moduli = cd.coeff_modulus_values
             sk_np = sample_poly_ternary(parms.random_generator.create(), parms.poly_modulus_degree, moduli)
-            sk_ntt = NTT.ntt_forward(U.from_np_u64(sk_np), cd.limb_tables())
+            fwd = jit_cached(context, ("keygen_sk_ntt", cd.parms_id),
+                             lambda d: NTT.ntt_forward(d, cd.limb_tables()))
+            sk_ntt = fwd(U.from_np_u64(sk_np))
             self._secret_key = SecretKey(sk_ntt, cd.parms_id)
             self._sk_array = [sk_ntt]
 
@@ -49,10 +51,12 @@ class KeyGenerator:
         """s^power in NTT form at the key level (lazily extended cache;
         cf. compute_secret_key_array, keygenerator.cpp:237-325)."""
         cd = self.context.key_context_data()
-        t = cd.limb_tables()
+        mul = jit_cached(
+            self.context, ("sk_power_mul", cd.parms_id),
+            lambda a, b: U.mul_mod(a, b, cd.limb_tables().q, cd.limb_tables().ratio_lo, cd.limb_tables().ratio_hi),
+        )
         while len(self._sk_array) < power:
-            prev = self._sk_array[-1]
-            self._sk_array.append(U.mul_mod(prev, self._sk_array[0], t.q, t.ratio_lo, t.ratio_hi))
+            self._sk_array.append(mul(self._sk_array[-1], self._sk_array[0]))
         return self._sk_array[power - 1]
 
     def create_public_key(self, save_seed: bool = False) -> PublicKey:
@@ -76,28 +80,30 @@ class KeyGenerator:
         seeds = []
         for i in range(decomp_count):
             ct = encrypt_zero_symmetric(self._secret_key, self.context, key_cd.parms_id, True, save_seed)
-            c0, c1 = ct.poly(0), ct.poly(1)
-            # c0[limb i] += (q_last mod q_i) * target[limb i]
-            qi = key_moduli[i]
-            factor = q_last % qi
-            from .ops.rns import _cshoup
-
-            op, qt = _cshoup([factor], [qi])
-            tgt_i = (target[0][i : i + 1], target[1][i : i + 1])
-            qi_c = U.const_u64(qi, (1, 1))
-            add_term = U.mul_mod_shoup(tgt_i, op, qt, qi_c)
-            row = (c0[0][i : i + 1], c0[1][i : i + 1])
-            new_row = U.add_mod(row, add_term, qi_c)
-            c0 = (
-                c0[0].at[i : i + 1].set(new_row[0]),
-                c0[1].at[i : i + 1].set(new_row[1]),
-            )
-            c0_list.append(c0)
-            c1_list.append(c1)
+            c0_list.append(ct.poly(0))
+            c1_list.append(ct.poly(1))
             seeds.append(ct.seed_info)
 
+        def finish(c0_stack, tgt):
+            """c0[i][limb i] += (q_last mod q_i) * target[limb i], all i at once."""
+            from .ops.rns import _cshoup
+            import numpy as np
+
+            k_key = len(key_moduli)
+            op, qt = _cshoup([q_last % qi for qi in key_moduli], key_moduli)
+            from .ops.rns import _c
+
+            q = _c(key_moduli)
+            add_term = U.mul_mod_shoup(tgt, op, qt, q)          # (k_key, n)
+            summed = U.add_mod(c0_stack, (add_term[0][None], add_term[1][None]), (q[0][None], q[1][None]))
+            eye = jnp.asarray(np.eye(decomp_count, k_key, dtype=bool))[:, :, None]
+            return U.select64(eye, summed, c0_stack)
+
+        fn = jit_cached(self.context, ("ksk_finish", key_cd.parms_id, decomp_count), finish)
+        c0_stack = (jnp.stack([c[0] for c in c0_list]), jnp.stack([c[1] for c in c0_list]))
+        c0_stack = fn(c0_stack, target)
         return {
-            "c0": (jnp.stack([c[0] for c in c0_list]), jnp.stack([c[1] for c in c0_list])),
+            "c0": c0_stack,
             "c1": (jnp.stack([c[0] for c in c1_list]), jnp.stack([c[1] for c in c1_list])),
             "seeds": seeds if save_seed else None,
         }
@@ -132,7 +138,9 @@ class KeyGenerator:
             if keys.keys[index] is not None:
                 continue
             table = jnp.asarray(galois_tool.ntt_table(elt))
-            rotated_sk = P.apply_galois_ntt(sk, table)
+            gal = jit_cached(self.context, ("sk_galois", cd.parms_id),
+                             lambda s, tab: P.apply_galois_ntt(s, tab))
+            rotated_sk = gal(sk, table)
             keys.keys[index] = self._generate_one_kswitch_key(rotated_sk, save_seed)
         keys.parms_id = self.context.key_parms_id
         return keys

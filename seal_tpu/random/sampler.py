@@ -34,11 +34,10 @@ NOISE_MAX_DEVIATION = NOISE_STANDARD_DEVIATION * 6
 def _replicate_signed(values: np.ndarray, moduli: Sequence[int]) -> np.ndarray:
     """Signed small ints (n,) -> (k, n) uint64 with negatives lifted mod q_i."""
     n = len(values)
+    v = values.astype(np.int64)
     out = np.zeros((len(moduli), n), dtype=np.uint64)
-    neg = values < 0
     for i, q in enumerate(moduli):
-        row = values.astype(np.int64).astype(object)
-        out[i] = np.array([(int(v)) % q for v in row], dtype=np.uint64)
+        out[i] = np.where(v < 0, np.uint64(q) + v.astype(np.uint64), v.astype(np.uint64))
     return out
 
 
@@ -92,13 +91,17 @@ def sample_poly_uniform(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
     dest = np.frombuffer(prng.generate(8 * k * n), dtype="<u8").reshape(k, n).copy()
     max_random = 0xFFFFFFFFFFFFFFFF
     for j, q in enumerate(moduli):
-        max_multiple = max_random - (max_random % q) - 1
+        max_multiple = np.uint64(max_random - (max_random % q) - 1)
         row = dest[j]
-        for c in range(n):
+        # vectorized rejection: redraw only offending positions, preserving
+        # the reference's per-coefficient redraw order (row-major scan)
+        bad = np.nonzero(row >= max_multiple)[0]
+        for c in bad:
             r = int(row[c])
-            while r >= max_multiple:
+            while r >= int(max_multiple):
                 (r,) = struct.unpack("<Q", prng.generate(8))
-            row[c] = r % q
+            row[c] = r
+        np.mod(row, np.uint64(q), out=row)
     return dest
 
 
