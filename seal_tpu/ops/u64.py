@@ -25,9 +25,10 @@ import numpy as np
 
 U64 = Tuple[jnp.ndarray, jnp.ndarray]
 
-_MASK16 = jnp.uint32(0xFFFF)
-_U32_1 = jnp.uint32(1)
-_U32_0 = jnp.uint32(0)
+# numpy scalars (not jnp arrays) so kernels can close over them freely
+_MASK16 = np.uint32(0xFFFF)
+_U32_1 = np.uint32(1)
+_U32_0 = np.uint32(0)
 
 
 # ---------------------------------------------------------------------------

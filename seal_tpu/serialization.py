@@ -87,6 +87,14 @@ def save_header_wrapped(members: bytes, compr_mode: int = None) -> bytes:
     return header + payload
 
 
+def peek_version(data: bytes) -> Tuple[int, int]:
+    """(major, minor) of a serialized blob's SEALHeader."""
+    if len(data) < SEAL_HEADER_SIZE:
+        raise ValueError("insufficient data for SEALHeader")
+    _, _, vmaj, vmin, _, _, _ = struct.unpack_from("<HBBBBHQ", data, 0)
+    return vmaj, vmin
+
+
 def load_header_wrapped(data: bytes) -> Tuple[bytes, int]:
     """Unwrap a SEALHeader; returns (member bytes, total size consumed)."""
     if len(data) < SEAL_HEADER_SIZE:
@@ -259,6 +267,7 @@ def ciphertext_load(data: bytes, context):
     from .random.sampler import sample_poly_uniform
     from .valcheck import is_metadata_valid_ct
 
+    vmaj, _ = peek_version(data)
     members, consumed = load_header_wrapped(data)
     off = 0
     parms_id = tuple(struct.unpack_from("<4Q", members, off))
@@ -273,8 +282,11 @@ def ciphertext_load(data: bytes, context):
     off += 8
     (scale,) = struct.unpack_from("<d", members, off)
     off += 8
-    (correction,) = struct.unpack_from("<Q", members, off)
-    off += 8
+    correction = 1
+    if vmaj == 4:
+        # correction_factor was added in 4.x (ciphertext.cpp load_members)
+        (correction,) = struct.unpack_from("<Q", members, off)
+        off += 8
 
     ct = Ciphertext(parms_id=parms_id, is_ntt_form=bool(ntt_byte), scale=scale, correction_factor=correction)
     if not is_metadata_valid_ct(context, parms_id, size, degree, k, allow_key_level=True):

@@ -1,0 +1,35 @@
+"""Pallas fused NTT kernel vs the jnp reference implementation (interpret
+mode on CPU; the TPU path is exercised by benchmarks)."""
+
+import numpy as np
+import pytest
+
+from seal_tpu.modulus import CoeffModulus
+from seal_tpu.ntt_tables import build_limb_tables
+from seal_tpu.ops import ntt as NTT
+from seal_tpu.ops import pallas_ntt as PN
+from seal_tpu.ops import u64 as U
+
+
+@pytest.mark.parametrize("log_n", [5, 8])
+def test_pallas_matches_jnp(log_n):
+    n = 1 << log_n
+    mods = CoeffModulus.create(n, [40, 41, 42])
+    t = build_limb_tables(log_n, mods)
+    rng = np.random.default_rng(log_n)
+    a = np.stack([rng.integers(0, m.value, n, dtype=np.uint64) for m in mods])
+    x = U.from_np_u64(a)
+
+    want = U.to_np_u64(NTT.ntt_forward(x, t))
+    got = U.to_np_u64(PN.ntt_forward(x, t, interpret=True))
+    assert (want == got).all()
+
+    want_lazy = U.to_np_u64(NTT.ntt_forward(x, t, lazy=True))
+    got_lazy = U.to_np_u64(PN.ntt_forward(x, t, lazy=True, interpret=True))
+    assert (want_lazy == got_lazy).all()
+
+    xf = U.from_np_u64(want)
+    want_i = U.to_np_u64(NTT.ntt_inverse(xf, t))
+    got_i = U.to_np_u64(PN.ntt_inverse(xf, t, interpret=True))
+    assert (want_i == got_i).all()
+    assert (want_i == a).all()
