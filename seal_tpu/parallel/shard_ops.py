@@ -64,7 +64,8 @@ def build_sharded_keyswitch_contraction(context: SealContext, cd: ContextData, h
             total = U.add_mod(total, (gathered[0][s], gathered[1][s]), sel_q)
         return total
 
-    shard_map = getattr(jax, "shard_map", None) or jax.experimental.shard_map.shard_map
+    from jax.experimental.shard_map import shard_map
+
     fn = shard_map(
         local_contract,
         mesh=hem.mesh,
