@@ -21,6 +21,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: repeated benchmark runs skip XLA
+    recompiles (slow through this environment's device tunnel)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def timeit(fn, iters, *args):
     import jax
 
@@ -80,9 +92,15 @@ def bench_scheme(scheme_name, n, iters):
         ct1 = enc.encrypt_symmetric(plain)
         ct2 = enc.encrypt_symmetric(plain)
 
-    # move ciphertexts and keys to the target device
+    # move ciphertexts and keys to the target device (incl. the secret key,
+    # so encrypt/decrypt don't re-upload it per call)
     ct1.data = jax.device_put(ct1.data, target)
     ct2.data = jax.device_put(ct2.data, target)
+    keygen.secret_key.data = jax.device_put(keygen.secret_key.data, target)
+    enc = Encryptor(ctx, secret_key=keygen.secret_key)
+    dec = Decryptor(ctx, keygen.secret_key)
+    if plain.rns_data is not None:
+        plain.rns_data = jax.device_put(plain.rns_data, target)
     if rk is not None:
         for entry in rk.keys:
             if entry:
@@ -144,6 +162,7 @@ def main():
     ap.add_argument("--out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
+    _enable_compile_cache()
     baseline = {}
     bp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE_CPU.json")
     if os.path.exists(bp):

@@ -217,36 +217,48 @@ class Evaluator:
     def multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
         if ct1.parms_id != ct2.parms_id:
             raise ValueError("encrypted1 and encrypted2 parameter mismatch")
+        square = ct1 is ct2
         scheme = self.context.first_context_data().parms.scheme
         if scheme == SchemeType.BFV:
-            out = self._bfv_multiply(ct1, ct2)
+            out = self._bfv_multiply(ct1, ct2, square)
         elif scheme == SchemeType.CKKS:
-            out = self._ckks_multiply(ct1, ct2)
+            out = self._ckks_multiply(ct1, ct2, square)
         elif scheme == SchemeType.BGV:
-            out = self._bgv_multiply(ct1, ct2)
+            out = self._bgv_multiply(ct1, ct2, square)
         else:
             raise ValueError("unsupported scheme")
         self._check_transparent(out)
         return out
 
     def square(self, ct: Ciphertext) -> Ciphertext:
-        # The reference has dedicated square kernels; multiplying by self is
-        # mathematically identical (optimization comes with the fused kernels).
+        """Dedicated square: skips duplicate cross products (cf. the
+        reference's bfv_square / dyadic square fast paths)."""
         return self.multiply(ct, ct)
 
-    def _convolve(self, polys1, polys2, q, rlo, rhi) -> List[U.U64]:
-        """Dyadic convolution out[i] = sum_{j+k=i} p1[j] * p2[k]."""
+    def _convolve(self, polys1, polys2, q, rlo, rhi, square: bool = False) -> List[U.U64]:
+        """Dyadic convolution out[i] = sum_{j+k=i} p1[j] * p2[k].
+
+        With ``square`` (polys1 is polys2), symmetric cross terms are computed
+        once and doubled.
+        """
         s1, s2 = len(polys1), len(polys2)
         dest = []
         for i in range(s1 + s2 - 1):
             acc = None
-            for j in range(max(0, i - s2 + 1), min(i, s1 - 1) + 1):
-                prod = U.mul_mod(polys1[j], polys2[i - j], q, rlo, rhi)
+            lo_j = max(0, i - s2 + 1)
+            hi_j = min(i, s1 - 1)
+            for j in range(lo_j, hi_j + 1):
+                k = i - j
+                if square and j > k:
+                    continue  # folded into the doubled j < k term
+                prod = U.mul_mod(polys1[j], polys2[k], q, rlo, rhi)
+                if square and j < k:
+                    prod = U.add_mod(prod, prod, q)
                 acc = prod if acc is None else U.add_mod(acc, prod, q)
             dest.append(acc)
         return dest
 
-    def _bfv_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    def _bfv_multiply(self, ct1: Ciphertext, ct2: Ciphertext, square: bool = False) -> Ciphertext:
         """BEHZ RNS multiplication (evaluator.cpp:395-567)."""
         if ct1.is_ntt_form or ct2.is_ntt_form:
             raise ValueError("encrypted1 or encrypted2 cannot be in NTT form")
@@ -272,9 +284,12 @@ class Evaluator:
                 return qs, bs
 
             e1_q, e1_b = extend(d1, size1)
-            e2_q, e2_b = extend(d2, size2)
-            dest_q = self._convolve(e1_q, e2_q, tq.q, tq.ratio_lo, tq.ratio_hi)
-            dest_b = self._convolve(e1_b, e2_b, tb.q, tb.ratio_lo, tb.ratio_hi)
+            if square:
+                e2_q, e2_b = e1_q, e1_b
+            else:
+                e2_q, e2_b = extend(d2, size2)
+            dest_q = self._convolve(e1_q, e2_q, tq.q, tq.ratio_lo, tq.ratio_hi, square)
+            dest_b = self._convolve(e1_b, e2_b, tb.q, tb.ratio_lo, tb.ratio_hi, square)
             t_op_q = _cshoup([tv % q for q in qv], qv)
             t_op_b = _cshoup([tv % q for q in bskv], bskv)
             out_polys = []
@@ -291,40 +306,40 @@ class Evaluator:
                 out_polys.append(R.fastbconv_sk(floored, tool))
             return _stack_polys(out_polys)
 
-        fn = self._jit(("bfv_mul", ct1.parms_id, size1, size2), body)
+        fn = self._jit(("bfv_mul", ct1.parms_id, size1, size2, square), body)
         out = ct1.copy()
         out.data = fn(ct1.data, ct2.data)
         return out
 
-    def _ntt_convolve_jit(self, cd, ct1: Ciphertext, ct2: Ciphertext) -> U.U64:
+    def _ntt_convolve_jit(self, cd, ct1: Ciphertext, ct2: Ciphertext, square: bool = False) -> U.U64:
         size1, size2 = ct1.size, ct2.size
 
         def body(d1, d2):
             t = cd.limb_tables()
             polys1 = [(d1[0][j], d1[1][j]) for j in range(size1)]
-            polys2 = [(d2[0][j], d2[1][j]) for j in range(size2)]
-            return _stack_polys(self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi))
+            polys2 = polys1 if square else [(d2[0][j], d2[1][j]) for j in range(size2)]
+            return _stack_polys(self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi, square))
 
-        fn = self._jit(("ntt_conv", ct1.parms_id, size1, size2), body)
+        fn = self._jit(("ntt_conv", ct1.parms_id, size1, size2, square), body)
         return fn(ct1.data, ct2.data)
 
-    def _ckks_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    def _ckks_multiply(self, ct1: Ciphertext, ct2: Ciphertext, square: bool = False) -> Ciphertext:
         if not (ct1.is_ntt_form and ct2.is_ntt_form):
             raise ValueError("encrypted1 and encrypted2 must be in NTT form")
         cd = self._cd(ct1)
         out = ct1.copy()
-        out.data = self._ntt_convolve_jit(cd, ct1, ct2)
+        out.data = self._ntt_convolve_jit(cd, ct1, ct2, square)
         out.scale = ct1.scale * ct2.scale
         if not _is_scale_within_bounds(out.scale, cd):
             raise ValueError("scale out of bounds")
         return out
 
-    def _bgv_multiply(self, ct1: Ciphertext, ct2: Ciphertext) -> Ciphertext:
+    def _bgv_multiply(self, ct1: Ciphertext, ct2: Ciphertext, square: bool = False) -> Ciphertext:
         if not (ct1.is_ntt_form and ct2.is_ntt_form):
             raise ValueError("encrypted1 and encrypted2 must be in NTT form")
         cd = self._cd(ct1)
         out = ct1.copy()
-        out.data = self._ntt_convolve_jit(cd, ct1, ct2)
+        out.data = self._ntt_convolve_jit(cd, ct1, ct2, square)
         out.correction_factor = (
             ct1.correction_factor * ct2.correction_factor % cd.parms.plain_modulus.value
         )
