@@ -259,56 +259,87 @@ class Evaluator:
         return dest
 
     def _bfv_multiply(self, ct1: Ciphertext, ct2: Ciphertext, square: bool = False) -> Ciphertext:
-        """BEHZ RNS multiplication (evaluator.cpp:395-567)."""
+        """BEHZ RNS multiplication (evaluator.cpp:395-567).
+
+        Staged into several jitted kernels rather than one monolithic graph:
+        XLA mis-schedules the base-conversion contraction fused together with
+        the NTT stage chain (观察: composed graph runs ~1000x slower than the
+        sum of its stages), so stage boundaries are real dispatch boundaries.
+        """
         if ct1.is_ntt_form or ct2.is_ntt_form:
             raise ValueError("encrypted1 or encrypted2 cannot be in NTT form")
         cd = self._cd(ct1)
         size1, size2 = ct1.size, ct2.size
+        tool = cd.rns_tool
+        pid = ct1.parms_id
 
-        def body(d1, d2):
-            tool = cd.rns_tool
-            tq = cd.limb_tables()
-            tb = cd.bsk_limb_tables()
-            tv = cd.parms.plain_modulus.value
-            qv = cd.coeff_modulus_values
-            bskv = tool.base_Bsk.values
+        # Stage kernels (each jit-cached per level; poly-shaped (size,k,n))
+        ntt_q = self._jit(
+            ("behz_ntt_q", pid), lambda d: NTT.ntt_forward(d, cd.limb_tables(), lazy=True)
+        )
+        ext_bsk = self._jit(
+            ("behz_ext", pid), lambda d: R.sm_mrq(R.fastbconv_m_tilde(d, tool), tool)
+        )
+        ntt_bsk = self._jit(
+            ("behz_ntt_bsk", pid), lambda d: NTT.ntt_forward(d, cd.bsk_limb_tables(), lazy=True)
+        )
 
-            def extend(data, size):
-                qs, bs = [], []
-                for j in range(size):
-                    pj = (data[0][j], data[1][j])
-                    qs.append(NTT.ntt_forward(pj, tq, lazy=True))
-                    ext = R.fastbconv_m_tilde(pj, tool)
-                    red = R.sm_mrq(ext, tool)
-                    bs.append(NTT.ntt_forward(red, tb, lazy=True))
-                return qs, bs
+        def conv_builder(base):
+            t = cd.limb_tables() if base == "q" else cd.bsk_limb_tables()
 
-            e1_q, e1_b = extend(d1, size1)
-            if square:
-                e2_q, e2_b = e1_q, e1_b
-            else:
-                e2_q, e2_b = extend(d2, size2)
-            dest_q = self._convolve(e1_q, e2_q, tq.q, tq.ratio_lo, tq.ratio_hi, square)
-            dest_b = self._convolve(e1_b, e2_b, tb.q, tb.ratio_lo, tb.ratio_hi, square)
-            t_op_q = _cshoup([tv % q for q in qv], qv)
-            t_op_b = _cshoup([tv % q for q in bskv], bskv)
-            out_polys = []
-            for i in range(len(dest_q)):
-                dq = NTT.ntt_inverse(dest_q[i], tq, lazy=True)
-                db = NTT.ntt_inverse(dest_b[i], tb, lazy=True)
-                dq = U.mul_mod_shoup(dq, t_op_q[0], t_op_q[1], tq.q)
-                db = U.mul_mod_shoup(db, t_op_b[0], t_op_b[1], tb.q)
-                joined = (
-                    jnp.concatenate([dq[0], db[0]], axis=0),
-                    jnp.concatenate([dq[1], db[1]], axis=0),
-                )
-                floored = R.fast_floor(joined, tool)
-                out_polys.append(R.fastbconv_sk(floored, tool))
-            return _stack_polys(out_polys)
+            def conv(d1s, d2s):
+                polys1 = [(d1s[0][j], d1s[1][j]) for j in range(size1)]
+                polys2 = polys1 if square else [(d2s[0][j], d2s[1][j]) for j in range(size2)]
+                return _stack_polys(self._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi, square))
 
-        fn = self._jit(("bfv_mul", ct1.parms_id, size1, size2, square), body)
+            return conv
+
+        conv_q = self._jit(("behz_conv_q", pid, size1, size2, square), conv_builder("q"))
+        conv_b = self._jit(("behz_conv_b", pid, size1, size2, square), conv_builder("b"))
+
+        tv = cd.parms.plain_modulus.value
+        qv = cd.coeff_modulus_values
+        bskv = tool.base_Bsk.values
+
+        def intt_scale_builder(base):
+            t = cd.limb_tables() if base == "q" else cd.bsk_limb_tables()
+            mods = qv if base == "q" else bskv
+
+            def f(d):
+                op, qt = _cshoup([tv % q for q in mods], mods)
+                y = NTT.ntt_inverse(d, t, lazy=True)
+                return U.mul_mod_shoup(y, op, qt, t.q)
+
+            return f
+
+        intt_q = self._jit(("behz_intt_q", pid), intt_scale_builder("q"))
+        intt_b = self._jit(("behz_intt_b", pid), intt_scale_builder("b"))
+        floor_fn = self._jit(("behz_floor", pid), lambda d: R.fast_floor(d, tool))
+        sk_fn = self._jit(("behz_sk", pid), lambda d: R.fastbconv_sk(d, tool))
+
+        # Steps (1)-(3): extend both inputs
+        e1_q = ntt_q(ct1.data)
+        e1_b = ntt_bsk(ext_bsk(ct1.data))
+        if square:
+            e2_q, e2_b = e1_q, e1_b
+        else:
+            e2_q = ntt_q(ct2.data)
+            e2_b = ntt_bsk(ext_bsk(ct2.data))
+
+        # Step (4): dyadic convolutions
+        dest_q = conv_q(e1_q, e2_q)
+        dest_b = conv_b(e1_b, e2_b)
+
+        # Steps (5)-(8), vectorized over output polys
+        dq = intt_q(dest_q)
+        db = intt_b(dest_b)
+        joined = (
+            jnp.concatenate([dq[0], db[0]], axis=1),
+            jnp.concatenate([dq[1], db[1]], axis=1),
+        )
+        out_data = sk_fn(floor_fn(joined))
         out = ct1.copy()
-        out.data = fn(ct1.data, ct2.data)
+        out.data = out_data
         return out
 
     def _ntt_convolve_jit(self, cd, ct1: Ciphertext, ct2: Ciphertext, square: bool = False) -> U.U64:
