@@ -22,15 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _enable_compile_cache():
-    """Persistent compilation cache: repeated benchmark runs skip XLA
-    recompiles (slow through this environment's device tunnel)."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compilation")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    """Disabled: the persistent cache produced cross-machine XLA:CPU AOT
+    loads with mismatched CPU features (SIGILL risk) in this environment."""
+    return
 
 
 def timeit(fn, iters, *args):

@@ -91,9 +91,23 @@ class HostRNSBase:
         return out
 
     def compose_array(self, residues: np.ndarray) -> List[int]:
-        """(k, n) -> list of n Python ints in [0, base_prod)."""
+        """(k, n) -> list of n Python ints in [0, base_prod).
+
+        Vectorized over numpy object arrays: value = sum_i r_i * C_i mod Q
+        with C_i = ((Q/q_i)^-1 mod q_i) * (Q/q_i) precomputed.
+        """
         k, n = residues.shape
-        return [self.compose([int(residues[i, j]) for i in range(k)]) for j in range(n)]
+        if k == 1:
+            return [int(v) for v in residues[0]]
+        consts = [
+            (self.inv_punctured[i] * self.punctured_prod[i]) % self.base_prod
+            for i in range(k)
+        ]
+        total = np.zeros(n, dtype=object)
+        for i in range(k):
+            total += residues[i].astype(object) * consts[i]
+        Q = self.base_prod
+        return [int(v) % Q for v in total]
 
 
 class HostBaseConverter:
