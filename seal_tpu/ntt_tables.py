@@ -132,6 +132,78 @@ class LimbTables(NamedTuple):
         return self.ratio_hi_lo, self.ratio_hi_hi
 
 
+class DenseStageTables(NamedTuple):
+    """Per-stage dense twiddle layout for the fused Pallas NTT kernel.
+
+    ``fwd_*``/``inv_*`` have shape (k, log_n, n): stage s, coefficient j
+    holds the twiddle of j's butterfly block, so a lane-aligned kernel can
+    multiply without gathers.  The last inverse stage fuses 1/n: its lo
+    slots hold n^-1 and hi slots hold (last root * n^-1).
+    """
+
+    fwd_op_lo: np.ndarray
+    fwd_op_hi: np.ndarray
+    fwd_qt_lo: np.ndarray
+    fwd_qt_hi: np.ndarray
+    inv_op_lo: np.ndarray
+    inv_op_hi: np.ndarray
+    inv_qt_lo: np.ndarray
+    inv_qt_hi: np.ndarray
+    q_lo: np.ndarray       # (k, 1)
+    q_hi: np.ndarray
+    two_q_lo: np.ndarray
+    two_q_hi: np.ndarray
+
+
+def build_dense_stage_tables(log_n: int, moduli: Sequence[Modulus], host_tables=None) -> DenseStageTables:
+    if host_tables is None:
+        host_tables = [cached_host_ntt_tables(log_n, m) for m in moduli]
+    n = 1 << log_n
+    k = len(moduli)
+    S = log_n
+    fwd = np.zeros((k, S, n), dtype=np.uint64)
+    fwd_qt = np.zeros((k, S, n), dtype=np.uint64)
+    inv = np.zeros((k, S, n), dtype=np.uint64)
+    inv_qt = np.zeros((k, S, n), dtype=np.uint64)
+    j = np.arange(n)
+    for ki, (mod, tab) in enumerate(zip(moduli, host_tables)):
+        q = mod.value
+        rp = np.array(tab.root_powers, dtype=np.uint64)
+        ip = np.array(tab.inv_root_powers, dtype=np.uint64)
+        # Shoup quotients computed once per distinct root, then broadcast
+        rp_qt = np.array([((int(w) << 64) // q) & 0xFFFFFFFFFFFFFFFF for w in tab.root_powers], dtype=np.uint64)
+        ip_qt = np.array([((int(w) << 64) // q) & 0xFFFFFFFFFFFFFFFF for w in tab.inv_root_powers], dtype=np.uint64)
+        for s in range(S):
+            m = 1 << s
+            block = j >> (log_n - s)          # forward stage s block index
+            fwd[ki, s] = rp[m + block]
+            fwd_qt[ki, s] = rp_qt[m + block]
+        # inverse stages: stage s has m = n >> (s+1) blocks of size 2^(s+1)
+        offset = 1
+        for s in range(S):
+            m = n >> (s + 1)
+            block = j >> (s + 1)
+            if m > 1:
+                inv[ki, s] = ip[offset + block]
+                inv_qt[ki, s] = ip_qt[offset + block]
+            else:
+                # last stage: fuse n^-1 (lo half) and scaled last root (hi half)
+                lo_val, hi_val = tab.inv_degree, tab.scaled_last_inv_root
+                lo_qt = ((lo_val << 64) // q) & 0xFFFFFFFFFFFFFFFF
+                hi_qt = ((hi_val << 64) // q) & 0xFFFFFFFFFFFFFFFF
+                half = j < (n >> 1)
+                inv[ki, s] = np.where(half, np.uint64(lo_val), np.uint64(hi_val))
+                inv_qt[ki, s] = np.where(half, np.uint64(lo_qt), np.uint64(hi_qt))
+            offset += m
+
+    qv = np.array([[m.value] for m in moduli], dtype=np.uint64)
+    parts = []
+    for arr in (fwd, fwd_qt, inv, inv_qt, qv, qv * np.uint64(2)):
+        parts.extend(_split_words(arr))
+    (fol, foh, fql, fqh, iol, ioh, iql, iqh, q_lo, q_hi, tq_lo, tq_hi) = parts
+    return DenseStageTables(fol, foh, fql, fqh, iol, ioh, iql, iqh, q_lo, q_hi, tq_lo, tq_hi)
+
+
 def build_limb_tables(log_n: int, moduli: Sequence[Modulus], host_tables: "Sequence[HostNTTTables] | None" = None) -> LimbTables:
     """Build the packed device bundle for a modulus vector."""
     if host_tables is None:
