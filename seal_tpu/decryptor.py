@@ -137,8 +137,13 @@ class Decryptor:
         coeffs = U.to_np_u64(out)[0]
         tv = cd.parms.plain_modulus.value
         if ct.correction_factor != 1:
+            # t < 2^60, so multiply in Python-object space only when the
+            # product could overflow u64; batching-sized t stays vectorized.
             fix = numth.invert_mod(ct.correction_factor, tv)
-            coeffs = np.array([int(c) * fix % tv for c in coeffs], dtype=np.uint64)
+            if tv.bit_length() + fix.bit_length() <= 64:
+                coeffs = coeffs * np.uint64(fix) % np.uint64(tv)
+            else:
+                coeffs = np.array([int(c) * fix % tv for c in coeffs], dtype=np.uint64)
         sig = np.nonzero(coeffs)[0]
         count = int(sig[-1]) + 1 if len(sig) else 1
         return Plaintext.from_coeffs(coeffs[:count])

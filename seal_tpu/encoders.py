@@ -52,14 +52,17 @@ class BatchEncoder:
         """uint64 slot values -> coefficient plaintext (iNTT mod t)."""
         cd = self.context.first_context_data()
         t = cd.parms.plain_modulus.value
-        values = list(values)
-        if len(values) > self.slots:
+        if not isinstance(values, (np.ndarray, list, tuple)):
+            values = list(values)
+        arr = np.asarray(values, dtype=np.uint64)
+        if arr.ndim != 1:
+            raise ValueError("values_matrix must be one-dimensional")
+        if arr.size > self.slots:
             raise ValueError("values_matrix size is too large")
-        for v in values:
-            if not (0 <= int(v) < t):
-                raise ValueError("input value is larger than plain_modulus")
+        if arr.size and int(arr.max()) >= t:
+            raise ValueError("input value is larger than plain_modulus")
         buf = np.zeros(self.slots, dtype=np.uint64)
-        buf[self.index_map[: len(values)]] = np.asarray(values, dtype=np.uint64)
+        buf[self.index_map[: arr.size]] = arr
         from .context import jit_cached
 
         intt = jit_cached(cd, ("plain_intt", cd.parms_id),
@@ -71,13 +74,10 @@ class BatchEncoder:
         """Signed variant: negatives wrap mod t (batchencoder.cpp:150-194)."""
         cd = self.context.first_context_data()
         t = cd.parms.plain_modulus.value
-        wrapped = []
-        for v in values:
-            v = int(v)
-            if not (-(t >> 1) <= v <= (t - 1) >> 1):
-                raise ValueError("input value is out of range")
-            wrapped.append(v % t)
-        return self.encode(wrapped)
+        arr = np.asarray(values, dtype=np.int64)
+        if arr.size and (int(arr.min()) < -(t >> 1) or int(arr.max()) > (t - 1) >> 1):
+            raise ValueError("input value is out of range")
+        return self.encode(np.where(arr < 0, arr + t, arr).astype(np.uint64))
 
     def decode(self, plain: Plaintext) -> List[int]:
         if plain.is_ntt_form:
@@ -91,9 +91,10 @@ class BatchEncoder:
         fwd = jit_cached(cd, ("plain_ntt", cd.parms_id),
                          lambda d: NTT.ntt_forward(d, cd.plain_limb_tables()))
         vals = U.to_np_u64(fwd(U.from_np_u64(buf[None, :])))[0]
-        return [int(vals[self.index_map[i]]) for i in range(self.slots)]
+        return vals[self.index_map].tolist()
 
     def decode_int64(self, plain: Plaintext) -> List[int]:
         t = self.context.first_context_data().parms.plain_modulus.value
-        half = t >> 1
-        return [v - t if v > half else v for v in self.decode(plain)]
+        vals = np.asarray(self.decode(plain), dtype=np.uint64)
+        signed = np.where(vals > np.uint64(t >> 1), vals.astype(np.int64) - t, vals.astype(np.int64))
+        return signed.tolist()
