@@ -30,21 +30,14 @@ def main():
     target = jax.devices()[0]
     args = jax.device_put(args, target)
 
+    from seal_tpu.profiling import device_time_us
+
     jitted = jax.jit(fn)
-    out = jitted(*args)
-    jax.block_until_ready(out)  # compile + warmup
-
-    # time steady-state: chain iterations to avoid dispatch gaps
-    iters = 10
-    t0 = time.perf_counter()
-    d1 = args[0]
-    for _ in range(iters):
-        out = jitted(d1, args[1], args[2], args[3])
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
-
-    per_op = (t1 - t0) / iters
-    ops_per_sec = 1.0 / per_op
+    # slope-timed with host-fetch completion barriers: block_until_ready is
+    # not a reliable barrier on tunneled PJRT backends (see profiling.py)
+    per_op_us = device_time_us(jitted, *args, lo=3, hi=13, repeats=3)
+    per_op = per_op_us / 1e6
+    ops_per_sec = 1.0 / per_op if per_op > 0 else 0.0
 
     vs_baseline = 0.0
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")

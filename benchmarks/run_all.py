@@ -28,15 +28,13 @@ def _enable_compile_cache():
 
 
 def timeit(fn, iters, *args):
-    import jax
+    """Slope-timed device microseconds per call (host-fetch barriers;
+    ``jax.block_until_ready`` is not a reliable completion barrier on this
+    environment's tunneled TPU backend — see seal_tpu/profiling.py)."""
+    from seal_tpu.profiling import device_time_us
 
-    out = fn(*args)
-    jax.block_until_ready(out)  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e6  # us
+    lo = max(2, iters // 3)
+    return device_time_us(fn, *args, lo=lo, hi=lo + iters, repeats=2)
 
 
 def bench_scheme(scheme_name, n, iters):

@@ -114,6 +114,12 @@ class LimbTables(NamedTuple):
     ratio_lo_hi: np.ndarray
     ratio_hi_lo: np.ndarray  # floor(2^128/q) high u64
     ratio_hi_hi: np.ndarray
+    # metadata enabling the four-step MXU kernel to rebuild its matrices
+    # for any limb subset (ops/ntt.py dispatch); () disables the MXU path
+    log_n: int = 0
+    moduli_values: tuple = ()
+
+    N_ARRAY_FIELDS = 24  # fields before the metadata tail
 
     @property
     def q(self):
@@ -249,4 +255,170 @@ def build_limb_tables(log_n: int, moduli: Sequence[Modulus], host_tables: "Seque
         fol, foh, fql, fqh, iol, ioh, iql, iqh,
         nl, nh, nql, nqh, ll, lh, lql, lqh,
         q_lo, q_hi, tq_lo, tq_hi, rll, rlh, rhl, rhh,
+        log_n=log_n, moduli_values=tuple(m.value for m in moduli),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Four-step (MXU) NTT tables
+# ---------------------------------------------------------------------------
+
+class MXUTables(NamedTuple):
+    """Constant bundle for the four-step matmul NTT (``ops/mxu_ntt.py``).
+
+    The negacyclic length-n transform factors as
+    ``n1-point negacyclic NTT (matmul over the strided axis)`` →
+    ``per-element twiddle α_{t1}^c`` → ``n2-point cyclic DFT (matmul)``,
+    with all three factors exact mod q and the composite bit-identical to
+    the reference's Harvey natural→bit-reversed form
+    (``util/dwthandler.h:94-191``).  The two small dense matrices run on the
+    MXU as int8 digit-plane contractions accumulated in int32.
+
+    Matrix planes are int8 arrays of 7-bit digits, little-endian:
+    ``value = Σ_p plane[p] * 2^(7p)``.
+    """
+
+    n1: int
+    n2: int
+    nplanes: int            # digit planes per operand (= ceil(max_q_bits / 7))
+    kchunk_a: int           # contraction chunk (overflow guard), stage A (K = n1)
+    kchunk_b: int           # stage B (K = n2)
+    # forward matrices: W[k, t1, r], F[k, t2, c]
+    w_planes: np.ndarray    # int8 (P, k, n1, n1)
+    f_planes: np.ndarray    # int8 (P, k, n2, n2)
+    # inverse matrices: Winv[k, r, t1] (1/n1 folded), Finv[k, c, t2] (1/n2 folded)
+    winv_planes: np.ndarray
+    finv_planes: np.ndarray
+    # twiddles T[k, t1, c] = α_{t1}^c (and inverse), Shoup pairs
+    t_op_lo: np.ndarray
+    t_op_hi: np.ndarray
+    t_qt_lo: np.ndarray
+    t_qt_hi: np.ndarray
+    ti_op_lo: np.ndarray
+    ti_op_hi: np.ndarray
+    ti_qt_lo: np.ndarray
+    ti_qt_hi: np.ndarray
+    # modulus constants, shape (k, 1, 1) for broadcasting over (n1, n2)
+    q_lo: np.ndarray
+    q_hi: np.ndarray
+    two_q_lo: np.ndarray
+    two_q_hi: np.ndarray
+    ratio_lo_lo: np.ndarray
+    ratio_lo_hi: np.ndarray
+    ratio_hi_lo: np.ndarray
+    ratio_hi_hi: np.ndarray
+
+
+def _digit_planes(mat: np.ndarray, q: int, nplanes: int) -> np.ndarray:
+    """(..., ) object/uint64 matrix of values < q -> int8 planes (P, ...)."""
+    m = mat.astype(np.uint64)
+    out = np.zeros((nplanes,) + mat.shape, dtype=np.int8)
+    for p in range(nplanes):
+        out[p] = ((m >> np.uint64(7 * p)) & np.uint64(0x7F)).astype(np.int8)
+    return out
+
+
+def _max_kchunk(K: int, max_q: int) -> int:
+    """Largest power-of-2 chunk of the contraction dim with
+    chunk*(q-1)^2 < 2^128 (so the digit-plane recombination fits u128)."""
+    kc = K
+    while kc > 1 and kc * (max_q - 1) * (max_q - 1) >= (1 << 128):
+        kc //= 2
+    return kc
+
+
+def build_mxu_tables(
+    log_n: int,
+    moduli: Sequence[Modulus],
+    n2: "int | None" = None,
+    host_tables: "Sequence[HostNTTTables] | None" = None,
+) -> MXUTables:
+    n = 1 << log_n
+    if n2 is None:
+        # favor the larger factor on the contiguous axis, capped at 128
+        n2 = min(128, 1 << ((log_n + 1) // 2))
+    n1 = n // n2
+    if n1 < 2 or n2 < 2:
+        raise ValueError("mxu ntt needs n1, n2 >= 2")
+    ln1, ln2 = n1.bit_length() - 1, n2.bit_length() - 1
+    if host_tables is None:
+        host_tables = [cached_host_ntt_tables(log_n, m) for m in moduli]
+    k = len(moduli)
+    max_q = max(m.value for m in moduli)
+    nplanes = (max_q.bit_length() + 6) // 7
+
+    W = np.zeros((k, n1, n1), dtype=object)
+    F = np.zeros((k, n2, n2), dtype=object)
+    Winv = np.zeros((k, n1, n1), dtype=object)
+    Finv = np.zeros((k, n2, n2), dtype=object)
+    T = np.zeros((k, n1, n2), dtype=np.uint64)
+    Tq = np.zeros((k, n1, n2), dtype=np.uint64)
+    Ti = np.zeros((k, n1, n2), dtype=np.uint64)
+    Tiq = np.zeros((k, n1, n2), dtype=np.uint64)
+
+    for ki, (mod, tab) in enumerate(zip(moduli, host_tables)):
+        q = mod.value
+        psi = tab.root
+        eta = pow(psi, n2, q)          # primitive 2*n1-th root
+        zeta = pow(psi, 2 * n1, q)     # primitive n2-th root of unity
+        inv_n1 = numth.invert_mod(n1, q)
+        inv_n2 = numth.invert_mod(n2, q)
+        for t1 in range(n1):
+            e = 2 * numth.reverse_bits(t1, ln1) + 1
+            w = pow(eta, e, q)
+            winv = numth.invert_mod(w, q)
+            alpha = pow(psi, e, q)
+            alphainv = numth.invert_mod(alpha, q)
+            acc_w, acc_wi = 1, inv_n1
+            acc_a, acc_ai = 1, 1
+            for r in range(n1):
+                W[ki, t1, r] = acc_w
+                Winv[ki, r, t1] = acc_wi
+                acc_w = acc_w * w % q
+                acc_wi = acc_wi * winv % q
+            for c in range(n2):
+                T[ki, t1, c] = acc_a
+                Tq[ki, t1, c] = _shoup(acc_a, q) & 0xFFFFFFFFFFFFFFFF
+                Ti[ki, t1, c] = acc_ai
+                Tiq[ki, t1, c] = _shoup(acc_ai, q) & 0xFFFFFFFFFFFFFFFF
+                acc_a = acc_a * alpha % q
+                acc_ai = acc_ai * alphainv % q
+        for t2 in range(n2):
+            e = numth.reverse_bits(t2, ln2)
+            z = pow(zeta, e, q)
+            zi = numth.invert_mod(z, q)
+            acc_f, acc_fi = 1, inv_n2
+            for c in range(n2):
+                F[ki, t2, c] = acc_f
+                Finv[ki, c, t2] = acc_fi
+                acc_f = acc_f * z % q
+                acc_fi = acc_fi * zi % q
+
+    qv = np.array([m.value for m in moduli], dtype=np.uint64).reshape(k, 1, 1)
+    two_q = qv * np.uint64(2)
+    ratio = [(1 << 128) // m.value for m in moduli]
+    rlo = np.array([r & 0xFFFFFFFFFFFFFFFF for r in ratio], dtype=np.uint64).reshape(k, 1, 1)
+    rhi = np.array([(r >> 64) & 0xFFFFFFFFFFFFFFFF for r in ratio], dtype=np.uint64).reshape(k, 1, 1)
+
+    def planes(mat):
+        return _digit_planes(mat, max_q, nplanes)
+
+    t_lo, t_hi = _split_words(T)
+    tq_lo, tq_hi = _split_words(Tq)
+    ti_lo, ti_hi = _split_words(Ti)
+    tiq_lo, tiq_hi = _split_words(Tiq)
+    q_lo, q_hi = _split_words(qv)
+    twoq_lo, twoq_hi = _split_words(two_q)
+    rll, rlh = _split_words(rlo)
+    rhl, rhh = _split_words(rhi)
+
+    return MXUTables(
+        n1=n1, n2=n2, nplanes=nplanes,
+        kchunk_a=_max_kchunk(n1, max_q), kchunk_b=_max_kchunk(n2, max_q),
+        w_planes=planes(W), f_planes=planes(F),
+        winv_planes=planes(Winv), finv_planes=planes(Finv),
+        t_op_lo=t_lo, t_op_hi=t_hi, t_qt_lo=tq_lo, t_qt_hi=tq_hi,
+        ti_op_lo=ti_lo, ti_op_hi=ti_hi, ti_qt_lo=tiq_lo, ti_qt_hi=tiq_hi,
+        q_lo=q_lo, q_hi=q_hi, two_q_lo=twoq_lo, two_q_hi=twoq_hi,
+        ratio_lo_lo=rll, ratio_lo_hi=rlh, ratio_hi_lo=rhl, ratio_hi_hi=rhh,
     )

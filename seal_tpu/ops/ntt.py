@@ -16,6 +16,7 @@ transform in one traced computation.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -24,6 +25,47 @@ from ..ntt_tables import LimbTables
 from . import u64 as U
 
 U64 = U.U64
+
+# ---------------------------------------------------------------------------
+# Backend dispatch: four-step MXU kernel vs. XLA-fused butterfly stages
+# ---------------------------------------------------------------------------
+#
+# The MXU four-step kernel (ops/mxu_ntt.py) is bit-identical to the staged
+# butterflies below and 2-18x faster on TPU for n >= 2048 (measured v5e,
+# docs/PERFORMANCE.md).  Dispatch is decided at trace time:
+#   SEAL_TPU_NTT=mxu   force the matmul kernel (any backend; exact on CPU too)
+#   SEAL_TPU_NTT=xla   force the staged-butterfly kernel
+#   SEAL_TPU_NTT=auto  (default) matmul kernel on TPU backends for n >= 2048
+# This is the reference's HEXL seam (util/ntt.cpp:149-223) done the TPU way.
+
+_MXU_TABLE_CACHE = {}
+
+
+def _mxu_tables_for(t: LimbTables):
+    from ..modulus import Modulus
+    from ..ntt_tables import build_mxu_tables
+
+    key = (t.log_n, t.moduli_values)
+    mt = _MXU_TABLE_CACHE.get(key)
+    if mt is None:
+        mt = build_mxu_tables(t.log_n, [Modulus(v) for v in t.moduli_values])
+        _MXU_TABLE_CACHE[key] = mt
+    return mt
+
+
+def _dispatch_mxu(t: LimbTables, n: int) -> bool:
+    if not t.moduli_values or (1 << t.log_n) != n:
+        return False
+    mode = os.environ.get("SEAL_TPU_NTT", "auto")
+    if mode == "mxu":
+        return True
+    if mode == "xla":
+        return False
+    if n < 2048:
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def _bcast_k1(lo, hi):
@@ -52,6 +94,10 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     *lead, k, n = lo.shape
     logn = int(n).bit_length() - 1
     assert (1 << logn) == n
+    if _dispatch_mxu(t, n):
+        from . import mxu_ntt
+
+        return mxu_ntt.mxu_ntt_forward(x, _mxu_tables_for(t))
     tq = _bcast_k1(t.two_q_lo, t.two_q_hi)
     q3 = _bcast_k1(t.q_lo, t.q_hi)
 
@@ -89,6 +135,10 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     *lead, k, n = lo.shape
     logn = int(n).bit_length() - 1
     assert (1 << logn) == n
+    if _dispatch_mxu(t, n):
+        from . import mxu_ntt
+
+        return mxu_ntt.mxu_ntt_inverse(x, _mxu_tables_for(t))
     tq = _bcast_k1(t.two_q_lo, t.two_q_hi)
     q3 = _bcast_k1(t.q_lo, t.q_hi)
 

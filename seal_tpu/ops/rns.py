@@ -337,10 +337,19 @@ def decrypt_modt(x: U64, tool: HostRNSTool) -> U64:
 
 def slice_limbs(t: LimbTables, start: int, stop: int) -> LimbTables:
     """Restrict a LimbTables bundle to limbs [start, stop)."""
-    return LimbTables(*(arr[start:stop] for arr in t))
+    na = LimbTables.N_ARRAY_FIELDS
+    return LimbTables(
+        *(arr[start:stop] for arr in t[:na]),
+        log_n=t.log_n, moduli_values=t.moduli_values[start:stop],
+    )
 
 
 def take_limbs(t: LimbTables, indices) -> LimbTables:
     """Gather arbitrary limb rows of a LimbTables bundle."""
     idx = np.asarray(indices)
-    return LimbTables(*(arr[idx] for arr in t))
+    na = LimbTables.N_ARRAY_FIELDS
+    return LimbTables(
+        *(arr[idx] for arr in t[:na]),
+        log_n=t.log_n,
+        moduli_values=tuple(t.moduli_values[int(i)] for i in idx) if t.moduli_values else (),
+    )

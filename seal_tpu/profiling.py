@@ -45,6 +45,53 @@ def op_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1):
     return (time.perf_counter() - t0) / iters
 
 
+def _force_fetch(out):
+    """Force device completion by pulling one element of one leaf to host.
+
+    ``jax.block_until_ready`` is NOT a reliable completion barrier on
+    remote/tunneled PJRT backends (observed on this environment's 'axon'
+    TPU tunnel: enqueue is acknowledged before execution finishes, which
+    made every op "run" in the ~40us RPC round-trip and inflated measured
+    bandwidth past hardware limits).  A host fetch of any output element
+    cannot complete before the computation does.
+    """
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves:
+        if hasattr(leaf, "ndim"):
+            np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+            return
+    jax.block_until_ready(out)
+
+
+def device_time_us(fn: Callable, *args, lo: int = 3, hi: int = 13, repeats: int = 2) -> float:
+    """Trustworthy per-call device time in microseconds.
+
+    Runs ``fn(*args)`` in two batches of ``lo`` and ``hi`` back-to-back
+    calls, each terminated by a host fetch (see ``_force_fetch``), and
+    returns the slope ``(t_hi - t_lo) / (hi - lo)``: the fetch round-trip
+    and per-batch dispatch overhead cancel, leaving steady-state device
+    throughput — the number a non-tunneled production host would see.
+    """
+    out = fn(*args)
+    _force_fetch(out)  # compile + warm
+
+    def batch(iters: int) -> float:
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        _force_fetch(out)
+        return time.perf_counter() - t0
+
+    batch(lo)
+    t_lo = min(batch(lo) for _ in range(repeats))
+    t_hi = min(batch(hi) for _ in range(repeats))
+    return max(0.0, (t_hi - t_lo) / (hi - lo)) * 1e6
+
+
 def compile_stats(context) -> Dict[str, int]:
     """Count compiled op executables in a context's jit cache by op name."""
     stats: Dict[str, int] = {}
