@@ -458,24 +458,27 @@ class Evaluator:
             )
 
         kc0, kc1 = sel(key_c0), sel(key_c1)
+        # Stack both key components: (2, D, Rn, n).  One contraction and one
+        # batched tail NTT cover both output polynomials — double the MXU
+        # batch per dispatch vs doing c0 and c1 sequentially.
+        kc = (jnp.stack([kc0[0], kc1[0]]), jnp.stack([kc0[1], kc1[1]]))
 
         # Contraction over D with 128-bit accumulation.  For 60-bit user
         # moduli, D*4q*q < 2^128 holds up to D=64 (defines.h:66 rationale);
         # reduce every 64 summands as a guard.
         def contract(t_op, keyc):
             n = t_op[0].shape[-1]
-            acc = U.zero128((Rn, n))
+            acc = U.zero128((2, Rn, n))
             for j in range(D):
-                x = (t_op[0][j], t_op[1][j])
-                y = (keyc[0][j], keyc[1][j])
+                x = (t_op[0][j], t_op[1][j])          # (Rn, n)
+                y = (keyc[0][:, j], keyc[1][:, j])    # (2, Rn, n)
                 acc = U.add128(acc, U.mul64_wide(x, y))
                 if (j + 1) % 64 == 0 and j + 1 < D:
                     red = U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
                     acc = (red[0], red[1], jnp.zeros_like(red[0]), jnp.zeros_like(red[0]))
             return U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
 
-        prod0 = contract(t_op, kc0)  # (Rn, n) NTT form mod sel moduli
-        prod1 = contract(t_op, kc1)
+        prod = contract(t_op, kc)  # (2, Rn, n) NTT form mod sel moduli
 
         # Switch the special prime away and add into ct (per component).
         qk = key_moduli[-1]
@@ -483,63 +486,65 @@ class Evaluator:
         dec_tab = slice_limbs(key_tables, 0, D)  # decomp moduli are key moduli[0:D]
         out_polys = [(ct_data[0][j], ct_data[1][j]) for j in range(ct_size)]
 
-        for comp, prod in ((0, prod0), (1, prod1)):
-            t_last = (prod[0][D:], prod[1][D:])  # (1, n) NTT mod qk
-            rest = (prod[0][:D], prod[1][:D])    # (D, n) NTT mod q_i
+        t_last = (prod[0][:, D:], prod[1][:, D:])  # (2, 1, n) NTT mod qk
+        rest = (prod[0][:, :D], prod[1][:, :D])    # (2, D, n) NTT mod q_i
 
-            if scheme == SchemeType.BGV:
-                tv = cd.parms.plain_modulus.value
-                qk_inv_qp = key_cd.rns_tool.inv_q_last_mod_t
-                t_last_c = NTT.ntt_inverse(t_last, last_tab)
-                t_c = U.const_u64(tv, (1, 1))
-                t_rhi = _ratio([tv])[1]
-                kk = U.barrett_reduce_64(t_last_c, t_c, t_rhi)
-                kk = U.neg_mod(kk, t_c)
-                if qk_inv_qp != 1:
-                    op, qt = _cshoup([qk_inv_qp], [tv])
-                    kk = U.mul_mod_shoup(kk, op, qt, t_c)
-                dq = _c(cd.coeff_modulus_values)
-                drlo, drhi = _ratio(cd.coeff_modulus_values)
-                delta = U.barrett_reduce_64(kk, dq, drhi)
-                qk_op, qk_qt = _cshoup([qk % qi for qi in cd.coeff_modulus_values], cd.coeff_modulus_values)
-                delta = U.mul_mod_shoup(delta, qk_op, qk_qt, dq)
-                c_mod_qi = U.barrett_reduce_64(t_last_c, dq, drhi)
-                delta = U.add_mod(delta, c_mod_qi, dq)
-                delta = NTT.ntt_forward(delta, dec_tab)
-                new = U.sub_mod(rest, delta, dq)
-                ms_op, ms_qt = _cshoup(key_cd.rns_tool.inv_q_last_mod_q[:D], cd.coeff_modulus_values)
-                new = U.mul_mod_shoup(new, ms_op, ms_qt, dq)
-            else:
-                # BFV / CKKS branch (evaluator.cpp:2806-2865)
-                t_last_c = NTT.ntt_inverse(t_last, last_tab, lazy=True)  # < 2qk
-                qk_half = qk >> 1
-                qk_c = U.const_u64(qk, (1, 1))
-                qk_rhi = _ratio([qk])[1]
-                t_last_c = U.barrett_reduce_64(U.add64(t_last_c, U.const_u64(qk_half)), qk_c, qk_rhi)
+        if scheme == SchemeType.BGV:
+            tv = cd.parms.plain_modulus.value
+            qk_inv_qp = key_cd.rns_tool.inv_q_last_mod_t
+            t_last_c = NTT.ntt_inverse(t_last, last_tab)
+            t_c = U.const_u64(tv, (1, 1))
+            t_rhi = _ratio([tv])[1]
+            kk = U.barrett_reduce_64(t_last_c, t_c, t_rhi)
+            kk = U.neg_mod(kk, t_c)
+            if qk_inv_qp != 1:
+                op, qt = _cshoup([qk_inv_qp], [tv])
+                kk = U.mul_mod_shoup(kk, op, qt, t_c)
+            dq = _c(cd.coeff_modulus_values)
+            drlo, drhi = _ratio(cd.coeff_modulus_values)
+            delta = U.barrett_reduce_64(kk, dq, drhi)
+            qk_op, qk_qt = _cshoup([qk % qi for qi in cd.coeff_modulus_values], cd.coeff_modulus_values)
+            delta = U.mul_mod_shoup(delta, qk_op, qk_qt, dq)
+            c_mod_qi = U.barrett_reduce_64(t_last_c, dq, drhi)
+            delta = U.add_mod(delta, c_mod_qi, dq)
+            delta = NTT.ntt_forward(delta, dec_tab)
+            new = U.sub_mod(rest, delta, dq)
+            ms_op, ms_qt = _cshoup(key_cd.rns_tool.inv_q_last_mod_q[:D], cd.coeff_modulus_values)
+            new = U.mul_mod_shoup(new, ms_op, ms_qt, dq)
+        else:
+            # BFV / CKKS branch (evaluator.cpp:2806-2865)
+            t_last_c = NTT.ntt_inverse(t_last, last_tab, lazy=True)  # < 2qk
+            qk_half = qk >> 1
+            qk_c = U.const_u64(qk, (1, 1))
+            qk_rhi = _ratio([qk])[1]
+            t_last_c = U.barrett_reduce_64(U.add64(t_last_c, U.const_u64(qk_half)), qk_c, qk_rhi)
 
-                dq = _c(cd.coeff_modulus_values)
-                drlo, drhi = _ratio(cd.coeff_modulus_values)
-                red = U.barrett_reduce_64(t_last_c, dq, drhi)
-                mask = jnp.asarray(
-                    np.array([qk > qi for qi in cd.coeff_modulus_values]).reshape(-1, 1)
-                )
-                t_ntt = U.select64(mask, red, t_last_c)
-                fix = _c([qi - (qk_half % qi) for qi in cd.coeff_modulus_values])
-                t_ntt = U.add64(t_ntt, fix)  # < 2q_i
+            dq = _c(cd.coeff_modulus_values)
+            drlo, drhi = _ratio(cd.coeff_modulus_values)
+            red = U.barrett_reduce_64(t_last_c, dq, drhi)
+            mask = jnp.asarray(
+                np.array([qk > qi for qi in cd.coeff_modulus_values]).reshape(-1, 1)
+            )
+            t_ntt = U.select64(mask, red, t_last_c)
+            fix = _c([qi - (qk_half % qi) for qi in cd.coeff_modulus_values])
+            t_ntt = U.add64(t_ntt, fix)  # < 2q_i
 
-                if scheme == SchemeType.CKKS:
-                    t_ntt = NTT.ntt_forward(t_ntt, dec_tab, lazy=True)  # < 4q_i
-                    qi_lazy = _c([qi << 2 for qi in cd.coeff_modulus_values])
-                    comp_poly = rest
-                elif scheme == SchemeType.BFV:
-                    comp_poly = NTT.ntt_inverse(rest, dec_tab, lazy=True)  # < 2q_i
-                    qi_lazy = _c([qi << 1 for qi in cd.coeff_modulus_values])
+            if scheme == SchemeType.CKKS:
+                t_ntt = NTT.ntt_forward(t_ntt, dec_tab, lazy=True)  # < 4q_i
+                qi_lazy = _c([qi << 2 for qi in cd.coeff_modulus_values])
+                comp_poly = rest
+            elif scheme == SchemeType.BFV:
+                comp_poly = NTT.ntt_inverse(rest, dec_tab, lazy=True)  # < 2q_i
+                qi_lazy = _c([qi << 1 for qi in cd.coeff_modulus_values])
 
-                combined = U.sub64(U.add64(comp_poly, qi_lazy), t_ntt)
-                ms_op, ms_qt = _cshoup(key_cd.rns_tool.inv_q_last_mod_q[:D], cd.coeff_modulus_values)
-                new = U.mul_mod_shoup(combined, ms_op, ms_qt, dq)
+            combined = U.sub64(U.add64(comp_poly, qi_lazy), t_ntt)
+            ms_op, ms_qt = _cshoup(key_cd.rns_tool.inv_q_last_mod_q[:D], cd.coeff_modulus_values)
+            new = U.mul_mod_shoup(combined, ms_op, ms_qt, dq)
 
-            out_polys[comp] = U.add_mod(new, out_polys[comp], dq)
+        for comp in (0, 1):
+            out_polys[comp] = U.add_mod(
+                (new[0][comp], new[1][comp]), out_polys[comp], dq
+            )
 
         return _stack_polys(out_polys)
 
