@@ -170,8 +170,13 @@ class Ciphertext:
         if self.size < 2:
             return True
         lo, hi = self.data
-        tail = (np.asarray(lo[1:]) | np.asarray(hi[1:]))
-        return not tail.any()
+        if isinstance(lo, np.ndarray):
+            return not (lo[1:] | hi[1:]).any()
+        # device arrays: reduce on device, fetch one scalar — never pull
+        # the ciphertext tail through the host boundary
+        import jax.numpy as jnp
+
+        return not bool(jnp.any((lo[1:] | hi[1:]) != 0))
 
 
 class SecretKey:

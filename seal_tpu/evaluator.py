@@ -896,33 +896,39 @@ class Evaluator:
             raise ValueError("Galois key not present")
         tool = cd.galois_tool
 
+        # Permutation + key switch fused into ONE compiled dispatch (the
+        # permutation tables are traced args, so a single executable serves
+        # every Galois element at this level).
+        key = galois_keys.key(galois_elt)
         if not ct.is_ntt_form:
             src, neg = tool.coeff_table(galois_elt)
-            src_j, neg_j = jnp.asarray(src), jnp.asarray(neg)
+            perm_args = (jnp.asarray(src), jnp.asarray(neg))
 
-            def gal_body(d, s, ng):
+            def body(d, s, ng, kc0, kc1):
                 t = cd.limb_tables()
                 c0 = P.apply_galois_coeff((d[0][0], d[1][0]), s, ng, t.q)
                 c1 = P.apply_galois_coeff((d[0][1], d[1][1]), s, ng, t.q)
-                return c0, c1
+                zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+                return self._switch_key_body(
+                    cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1
+                )
 
-            fn = self._jit(("galois_coeff", ct.parms_id), gal_body)
-            c0, c1 = fn(ct.data, src_j, neg_j)
+            fn = self._jit(("galois_coeff_ks", ct.parms_id), body)
         else:
-            table = jnp.asarray(tool.ntt_table(galois_elt))
+            perm_args = (jnp.asarray(tool.ntt_table(galois_elt)),)
 
-            def gal_body(d, tab):
+            def body(d, tab, kc0, kc1):
                 c0 = P.apply_galois_ntt((d[0][0], d[1][0]), tab)
                 c1 = P.apply_galois_ntt((d[0][1], d[1][1]), tab)
-                return c0, c1
+                zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+                return self._switch_key_body(
+                    cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1
+                )
 
-            fn = self._jit(("galois_ntt", ct.parms_id), gal_body)
-            c0, c1 = fn(ct.data, table)
+            fn = self._jit(("galois_ntt_ks", ct.parms_id), body)
 
-        base = ct.copy()
-        zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
-        base.data = _stack_polys([c0, zeros])
-        out = self._switch_key(base, c1, galois_keys.key(galois_elt))
+        out = ct.copy()
+        out.data = fn(ct.data, *perm_args, key["c0"], key["c1"])
         self._check_transparent(out)
         return out
 
