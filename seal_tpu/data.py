@@ -88,7 +88,7 @@ class Plaintext:
             return "0"
         parts = []
         for e in reversed(nz):
-            c = format(int(self.coeff_data[e]), "X").lower()
+            c = format(int(self.coeff_data[e]), "X")
             if e == 0:
                 parts.append(c)
             elif e == 1:

@@ -42,17 +42,24 @@ def _replicate_signed(values: np.ndarray, moduli: Sequence[int]) -> np.ndarray:
 
 
 def sample_poly_ternary(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
-    """Uniform ternary {-1, 0, 1} secret polynomial."""
-    # Draw 32-bit words; reject >= largest multiple of 3 to stay uniform.
-    vals = np.zeros(n, dtype=np.int64)
-    limit = (1 << 32) - ((1 << 32) % 3)
+    """Uniform ternary {-1, 0, 1} secret polynomial.
+
+    Byte-exact with the reference (rlwe.cpp:21-38), which draws
+    ``std::uniform_int_distribution<uint64_t>(0, 2)`` over a 32-bit engine:
+    libstdc++ maps by *division* — reject 0xFFFFFFFF, then
+    ``word // ((2^32-1)//3)`` — one 32-bit word per coefficient.
+    (Verified against reference-produced fixed-seed secret keys in
+    tests/test_wire_compat.py.)
+    """
+    scaling = ((1 << 32) - 1) // 3  # 1431655765
+    past = 3 * scaling  # 4294967295: only 0xFFFFFFFF is rejected
     buf = np.frombuffer(prng.generate(4 * n), dtype="<u4").astype(np.int64)
-    bad = buf >= limit
+    bad = buf >= past
     while bad.any():
         redraw = np.frombuffer(prng.generate(4 * int(bad.sum())), dtype="<u4").astype(np.int64)
         buf[np.where(bad)[0]] = redraw
-        bad = buf >= limit
-    vals = (buf % 3) - 1  # {-1, 0, 1}
+        bad = buf >= past
+    vals = (buf // scaling) - 1  # {-1, 0, 1}
     return _replicate_signed(vals, moduli)
 
 

@@ -307,12 +307,12 @@ def ciphertext_load(data: bytes, context):
         if prng is None:
             raise ValueError("unknown prng type")
         cd = context.get_context_data(parms_id)
+        # c1 is the raw uniform stream regardless of NTT form: the reference
+        # samples a directly in whatever form the ciphertext is in
+        # (rlwe.cpp:310-330 — "sampled directly in NTT form"), so expansion
+        # never applies a transform.
         c1 = sample_poly_uniform(prng, degree, cd.coeff_modulus_values)
-        if ct.is_ntt_form:
-            # c1 was sampled directly as the NTT form
-            c1_dev = U.from_np_u64(c1)
-        else:
-            c1_dev = U.from_np_u64(c1)
+        c1_dev = U.from_np_u64(c1)
         full = np.stack([arr.reshape(k, degree), np.zeros((k, degree), np.uint64)])
         dev = U.from_np_u64(full)
         import jax.numpy as jnp

@@ -46,14 +46,14 @@ def test_negate_add_sub(bfv):
     c1, c2 = enc.encrypt(p1), enc.encrypt(p2)
 
     assert dec.decrypt(ev.negate(c1)).to_string() == (
-        f"{t-1:x}x^3 + {t-5:x}x^1 + {t-3:x}"
+        f"{t-1:X}x^3 + {t-5:X}x^1 + {t-3:X}"
     )
     assert dec.decrypt(ev.add(c1, c2)).to_string() == "1x^3 + 7x^2 + 5x^1 + 5"
     out = dec.decrypt(ev.sub(c1, c2))
-    assert out.to_string() == f"1x^3 + {t-7:x}x^2 + 5x^1 + 1"
+    assert out.to_string() == f"1x^3 + {t-7:X}x^2 + 5x^1 + 1"
     # add_many
     s = ev.add_many([c1, c2, c1])
-    assert dec.decrypt(s).to_string() == "2x^3 + 7x^2 + ax^1 + 8"
+    assert dec.decrypt(s).to_string() == "2x^3 + 7x^2 + Ax^1 + 8"
 
 
 def test_multiply_and_relinearize(bfv):
@@ -74,7 +74,7 @@ def test_multiply_and_relinearize(bfv):
 
     sq = ev.relinearize(ev.square(c1), rk)
     # (x^2+2x+3)^2 = x^4 + 4x^3 + 10x^2 + 12x + 9
-    assert dec.decrypt(sq).to_string() == "1x^4 + 4x^3 + ax^2 + cx^1 + 9"
+    assert dec.decrypt(sq).to_string() == "1x^4 + 4x^3 + Ax^2 + Cx^1 + 9"
 
 
 def test_multiply_three_way(bfv):
@@ -86,10 +86,10 @@ def test_multiply_three_way(bfv):
     prod = ev.multiply(ev.multiply(c1, c2), c3)
     assert prod.size == 4
     # (x+2)(3x+4)(5x+6) = 15x^3 + 68x^2 + 100x + 48
-    assert dec.decrypt(prod).to_string() == "fx^3 + 44x^2 + 64x^1 + 30"
+    assert dec.decrypt(prod).to_string() == "Fx^3 + 44x^2 + 64x^1 + 30"
     rk = keygen.create_relin_keys(count=2)
     rel = ev.relinearize(prod, rk)
-    assert dec.decrypt(rel).to_string() == "fx^3 + 44x^2 + 64x^1 + 30"
+    assert dec.decrypt(rel).to_string() == "Fx^3 + 44x^2 + 64x^1 + 30"
 
 
 def test_plain_ops(bfv):
@@ -102,7 +102,7 @@ def test_plain_ops(bfv):
     assert dec.decrypt(ev.multiply_plain(c, p)).to_string() == "6x^3 + 8x^2 + 3x^1 + 4"
     # monomial fast path
     mono = Plaintext.from_hex("5x^1")
-    assert dec.decrypt(ev.multiply_plain(c, mono)).to_string() == "ax^3 + 5x^1"
+    assert dec.decrypt(ev.multiply_plain(c, mono)).to_string() == "Ax^3 + 5x^1"
     # NTT path
     c_ntt = ev.transform_to_ntt(c)
     p_ntt = ev.transform_plain_to_ntt(p, c.parms_id)

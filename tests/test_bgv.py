@@ -59,10 +59,10 @@ def test_add_sub_mul(bgv):
     assert dec.decrypt(ev.add(c1, c2)).to_string() == "2x^2 + 1x^1 + 7"
     prod = ev.multiply(c1, c2)
     # (2x^2+3)(x+4) = 2x^3 + 8x^2 + 3x + 12
-    assert dec.decrypt(prod).to_string() == "2x^3 + 8x^2 + 3x^1 + c"
+    assert dec.decrypt(prod).to_string() == "2x^3 + 8x^2 + 3x^1 + C"
     rk = keygen.create_relin_keys()
     rel = ev.relinearize(prod, rk)
-    assert dec.decrypt(rel).to_string() == "2x^3 + 8x^2 + 3x^1 + c"
+    assert dec.decrypt(rel).to_string() == "2x^3 + 8x^2 + 3x^1 + C"
 
 
 def test_mod_switch_and_correction_factor(bgv):
@@ -77,7 +77,7 @@ def test_mod_switch_and_correction_factor(bgv):
     assert dec.decrypt(c3).to_string() == "6x^4 + 6"
     # mixing levels through modswitch then multiply
     prod = ev.multiply(c2, c3)
-    assert dec.decrypt(prod).to_string() == "24x^8 + 1ex^4 + 6x^4... " or True
+    assert dec.decrypt(prod).to_string() == "24x^8 + 1Ex^4 + 6x^4... " or True
 
 
 def test_batching_rotation(bgv):

@@ -97,7 +97,7 @@ def test_key_roundtrips(setup):
     rk2, _ = S.kswitch_keys_load(S.kswitch_keys_save(rk, ctx), ctx, RelinKeys)
     ev = Evaluator(ctx)
     prod = ev.relinearize(ev.multiply(enc.encrypt_symmetric(p), enc.encrypt_symmetric(p)), rk2)
-    assert dec2.decrypt(prod).to_string() == "19x^6 + ax^3 + 1"
+    assert dec2.decrypt(prod).to_string() == "19x^6 + Ax^3 + 1"
     # galois keys
     gk = keygen.create_galois_keys()
     gk2, _ = S.kswitch_keys_load(S.kswitch_keys_save(gk, ctx), ctx, GaloisKeys)
