@@ -29,13 +29,19 @@ def main():
 
     target = jax.devices()[0]
     args = jax.device_put(args, target)
+    d1, d2, kc0, kc1 = args
 
-    from seal_tpu.profiling import device_time_us
+    from seal_tpu.profiling import chained_device_time_us, serialize_dependency
 
-    jitted = jax.jit(fn)
-    # slope-timed with host-fetch completion barriers: block_until_ready is
-    # not a reliable barrier on tunneled PJRT backends (see profiling.py)
-    per_op_us = device_time_us(jitted, *args, lo=3, hi=13, repeats=3)
+    # K pipeline iterations inside ONE dispatch, serialized by a
+    # compile-opaque data dependency: per-dispatch timing through this
+    # environment's tunneled TPU measures the tunnel's ~267 us enqueue
+    # rate, not the device (see docs/PERFORMANCE.md "timing reconciliation")
+    def step(carry):
+        out = fn(carry, d2, kc0, kc1)
+        return serialize_dependency(out[0][0, 0, 0], carry, d2)
+
+    per_op_us = chained_device_time_us(step, d1, lo=4, hi=20, repeats=3)
     per_op = per_op_us / 1e6
     ops_per_sec = 1.0 / per_op if per_op > 0 else 0.0
 

@@ -64,7 +64,7 @@ def build_sharded_keyswitch_contraction(context: SealContext, cd: ContextData, h
             total = U.add_mod(total, (gathered[0][s], gathered[1][s]), sel_q)
         return total
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         local_contract,
@@ -74,6 +74,6 @@ def build_sharded_keyswitch_contraction(context: SealContext, cd: ContextData, h
             (P(limb_axis, None, None), P(limb_axis, None, None)),
         ),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn

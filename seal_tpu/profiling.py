@@ -92,6 +92,59 @@ def device_time_us(fn: Callable, *args, lo: int = 3, hi: int = 13, repeats: int 
     return max(0.0, (t_hi - t_lo) / (hi - lo)) * 1e6
 
 
+def serialize_dependency(out_scalar_u32, primary, alternate):
+    """Thread a false-at-runtime, compile-opaque dependency into ``primary``.
+
+    Returns ``where(out_scalar == 0x12345, alternate, primary)`` per leaf —
+    at runtime always ``primary`` (unchanged values), but XLA cannot fold
+    the select, so an op chained through this cannot start before the
+    previous op's output exists.  ``alternate`` must be a second, distinct
+    valid input of the same structure (``where(p, x, x)`` folds to ``x``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pred = out_scalar_u32 == jnp.uint32(0x12345)
+    return jax.tree_util.tree_map(lambda p, a: jnp.where(pred, a, p), primary, alternate)
+
+
+def chained_device_time_us(step, init, lo: int = 4, hi: int = 20, repeats: int = 3) -> float:
+    """Per-op device time from K chained iterations inside ONE dispatch.
+
+    ``step: carry -> carry`` must serialize iterations through a data
+    dependency (see ``serialize_dependency``).  The whole K-iteration loop
+    runs as a single ``lax.fori_loop`` under one jit, so per-dispatch host/
+    tunnel overhead — which on this environment's tunneled TPU exceeds the
+    device time of most ops (~267 us/dispatch measured) — cannot contaminate
+    the measurement.  Slope between K=lo and K=hi cancels the single
+    dispatch + fetch round-trip.  This supersedes ``device_time_us`` (one
+    dispatch per op) for anything faster than ~1 ms/op.
+    """
+    import time as _time
+
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
+    def chain(k, carry):
+        return jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
+
+    def run(k):
+        _force_fetch(chain(k, init))
+
+    run(lo)  # compile both executables before timing
+    run(hi)
+
+    def timed(k):
+        t0 = _time.perf_counter()
+        run(k)
+        return _time.perf_counter() - t0
+
+    t_lo = min(timed(lo) for _ in range(repeats))
+    t_hi = min(timed(hi) for _ in range(repeats))
+    return max(0.0, (t_hi - t_lo) / (hi - lo)) * 1e6
+
+
 def compile_stats(context) -> Dict[str, int]:
     """Count compiled op executables in a context's jit cache by op name."""
     stats: Dict[str, int] = {}
