@@ -1,13 +1,20 @@
 #!/usr/bin/env python3
-"""Full op-taxonomy benchmark, mirroring the reference's 8_performance.cpp.
+"""Full op-taxonomy benchmark, mirroring the reference's bench surface
+(`native/bench/bench.cpp:135-226`, `8_performance.cpp:986-1090`).
 
-Times every scheme x op x size on the default JAX device (TPU when present),
-compares against the reference's CPU numbers in BASELINE_CPU.json, writes
-BENCH_DETAIL.json, and prints a table.  Setup (context, keys, host sampling)
-runs on CPU; only op execution is timed, averaged over ``--iters`` runs after
-a warmup, matching the reference's harness conventions (BASELINE.md).
+Every ciphertext-domain op is timed with in-dispatch chaining
+(`profiling.chained_device_time_us`): K iterations of the op inside ONE
+jitted fori_loop, serialized by a compile-opaque data dependency.  This is
+the only method that survives this environment's tunneled TPU backend,
+whose per-dispatch enqueue round-trip (~267 us measured) exceeds the device
+time of most ops — see docs/PERFORMANCE.md "timing reconciliation".
 
-Usage: python benchmarks/run_all.py [--sizes 4096,8192] [--schemes ckks,bfv,bgv] [--iters 10]
+Host-boundary ops (encode/decode/encrypt/decrypt/keygen) are wall-clock
+timed and dominated here by the ~1 MB/s dev tunnel; they are reported but
+flagged, since a production host (PCIe DMA) does not see that cost.
+
+Usage: python benchmarks/run_all.py [--sizes 4096,8192,16384,32768]
+         [--schemes ckks,bfv,bgv] [--out BENCH_DETAIL.json] [--ntt]
 """
 
 import argparse
@@ -21,23 +28,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _enable_compile_cache():
-    """Disabled: the persistent cache produced cross-machine XLA:CPU AOT
-    loads with mismatched CPU features (SIGILL risk) in this environment."""
-    return
+def _wall_us(fn, iters=5):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn()
+    return (time.perf_counter() - t0) / iters * 1e6
 
 
-def timeit(fn, iters, *args):
-    """Slope-timed device microseconds per call (host-fetch barriers;
-    ``jax.block_until_ready`` is not a reliable completion barrier on this
-    environment's tunneled TPU backend — see seal_tpu/profiling.py)."""
-    from seal_tpu.profiling import device_time_us
-
-    lo = max(2, iters // 3)
-    return device_time_us(fn, *args, lo=lo, hi=lo + iters, repeats=2)
-
-
-def bench_scheme(scheme_name, n, iters):
+def bench_scheme(scheme_name, n, chain_lo, chain_hi):
     import jax
 
     from seal_tpu.context import SealContext
@@ -47,6 +46,7 @@ def bench_scheme(scheme_name, n, iters):
     from seal_tpu.keygen import KeyGenerator
     from seal_tpu.modulus import CoeffModulus, PlainModulus, SecurityLevel
     from seal_tpu.params import EncryptionParameters, SchemeType
+    from seal_tpu.profiling import chained_device_time_us, serialize_dependency
     from seal_tpu.random import UniformRandomGeneratorFactory, PRNGType
 
     scheme = {"bfv": SchemeType.BFV, "ckks": SchemeType.CKKS, "bgv": SchemeType.BGV}[scheme_name]
@@ -84,96 +84,206 @@ def bench_scheme(scheme_name, n, iters):
         ct1 = enc.encrypt_symmetric(plain)
         ct2 = enc.encrypt_symmetric(plain)
 
-    # move ciphertexts and keys to the target device (incl. the secret key,
-    # so encrypt/decrypt don't re-upload it per call)
-    ct1.data = jax.device_put(ct1.data, target)
-    ct2.data = jax.device_put(ct2.data, target)
-    keygen.secret_key.data = jax.device_put(keygen.secret_key.data, target)
-    enc = Encryptor(ctx, secret_key=keygen.secret_key)
-    dec = Decryptor(ctx, keygen.secret_key)
+    # ship everything the chained bodies close over to the target device
+    def put(x):
+        return jax.device_put(x, target)
+
+    ct1.data = put(ct1.data)
+    ct2.data = put(ct2.data)
+    keygen.secret_key.data = put(keygen.secret_key.data)
     if plain.rns_data is not None:
-        plain.rns_data = jax.device_put(plain.rns_data, target)
-    if rk is not None:
-        for entry in rk.keys:
-            if entry:
-                entry["c0"] = jax.device_put(entry["c0"], target)
-                entry["c1"] = jax.device_put(entry["c1"], target)
-        for entry in gk.keys:
-            if entry:
-                entry["c0"] = jax.device_put(entry["c0"], target)
-                entry["c1"] = jax.device_put(entry["c1"], target)
+        plain.rns_data = put(plain.rns_data)
+    for keyobj in (rk, gk):
+        if keyobj is not None:
+            for entry in keyobj.keys:
+                if entry:
+                    entry["c0"] = put(entry["c0"])
+                    entry["c1"] = put(entry["c1"])
 
     ev = Evaluator(ctx, throw_on_transparent=False)
+    prod = ev.multiply(ct1, ct2)
+    prod_alt = ev.multiply(ct2, ct2)
+    prod.data = put(prod.data)
+    prod_alt.data = put(prod_alt.data)
+
+    def like(proto, data):
+        out = proto.copy()
+        out.data = data
+        return out
+
+    def chained(step, init=None, lo=None, hi=None):
+        if init is None:
+            init = ct1.data
+        return chained_device_time_us(
+            step, init, lo=lo or chain_lo, hi=hi or chain_hi, repeats=3
+        )
+
+    def scalar(ct):
+        return ct.data[0][0, 0, 0]
+
     res = {}
 
-    res["add"] = timeit(lambda: ev.add(ct1, ct2).data, iters)
-    prod = ev.multiply(ct1, ct2)
-    res["multiply"] = timeit(lambda: ev.multiply(ct1, ct2).data, iters)
-    res["square"] = timeit(lambda: ev.square(ct1).data, iters)
+    # --- size-2 carry ops: carry is ct1.data, alternate is ct2.data -----
+    def sized2(op):
+        def step(carry):
+            out = op(like(ct1, carry))
+            return serialize_dependency(scalar(out), carry, ct2.data)
+
+        return step
+
+    res["add"] = chained(sized2(lambda c: ev.add(c, ct2)))
+    res["sub"] = chained(sized2(lambda c: ev.sub(c, ct2)))
+    res["negate"] = chained(sized2(ev.negate))
+    res["multiply"] = chained(sized2(lambda c: ev.multiply(c, ct2)))
+    res["square"] = chained(sized2(ev.square))
+    res["add_plain"] = chained(sized2(lambda c: ev.add_plain(c, plain)))
+    if scheme == SchemeType.CKKS or plain.rns_data is not None:
+        res["multiply_plain"] = chained(sized2(lambda c: ev.multiply_plain(c, plain)))
+    else:
+        # BFV/BGV coefficient-form plain: the general plain-lift path
+        res["multiply_plain"] = chained(sized2(lambda c: ev.multiply_plain(c, plain)))
+
+    if ctx.using_keyswitching:
+        if scheme == SchemeType.CKKS:
+            res["rotate_one_step"] = chained(sized2(lambda c: ev.rotate_vector(c, 1, gk)))
+        else:
+            res["rotate_rows_one_step"] = chained(sized2(lambda c: ev.rotate_rows(c, 1, gk)))
+
+        # --- size-3 carry: relinearize ---------------------------------
+        def relin_step(carry):
+            out = ev.relinearize(like(prod, carry), rk)
+            return serialize_dependency(scalar(out), carry, prod_alt.data)
+
+        res["relinearize"] = chained(relin_step, prod.data)
+
+        # --- level-dropping ops: carry stays at the top level -----------
+        def drop_step(op):
+            def step(carry):
+                out = op(like(ct1, carry))
+                return serialize_dependency(scalar(out), carry, ct2.data)
+
+            return step
+
+        if scheme == SchemeType.CKKS:
+            ct_scaled = like(ct1, ct1.data)
+            ct_scaled.scale = float(ct1.scale) * float(ct1.scale)
+            res["rescale"] = chained(drop_step(lambda c: ev.rescale_to_next(c)))
+        else:
+            res["mod_switch"] = chained(drop_step(ev.mod_switch_to_next))
+
+    if scheme == SchemeType.BFV:
+        def to_ntt_step(carry):
+            out = ev.transform_to_ntt(like(ct1, carry))
+            return serialize_dependency(scalar(out), carry, ct2.data)
+
+        res["to_ntt"] = chained(to_ntt_step)
+        ct1_ntt = ev.transform_to_ntt(ct1)
+        ct2_ntt = ev.transform_to_ntt(ct2)
+
+        def from_ntt_step(carry):
+            out = ev.transform_from_ntt(like(ct1_ntt, carry))
+            return serialize_dependency(scalar(out), carry, ct2_ntt.data)
+
+        res["from_ntt"] = chained(from_ntt_step, ct1_ntt.data)
+
+    # --- host-boundary ops (wall clock; tunnel-dominated here) ----------
     if scheme == SchemeType.CKKS:
-        pt_dev = plain.copy()
-        pt_dev.rns_data = jax.device_put(plain.rns_data, target)
-        res["multiply_plain"] = timeit(lambda: ev.multiply_plain(ct1, pt_dev).data, iters)
-        res["rescale"] = timeit(lambda: ev.rescale_to_next(prod).data, iters)
-    if rk is not None:
-        res["relinearize"] = timeit(lambda: ev.relinearize(prod, rk).data, iters)
-        if scheme == SchemeType.CKKS:
-            res["rotate_one_step"] = timeit(lambda: ev.rotate_vector(ct1, 1, gk).data, iters)
-        else:
-            res["rotate_rows_one_step"] = timeit(lambda: ev.rotate_rows(ct1, 1, gk).data, iters)
-    if scheme in (SchemeType.BFV,):
-        res["mod_switch"] = timeit(lambda: ev.mod_switch_to_next(ct1).data, iters)
-
-    # host-side encode/decode + full encrypt/decrypt (includes host sampling)
-    t0 = time.perf_counter()
-    for _ in range(max(2, iters // 2)):
-        if scheme == SchemeType.CKKS:
-            encoder.encode(vals, scale)
-        else:
-            encoder.encode(vals)
-    res["encode"] = (time.perf_counter() - t0) / max(2, iters // 2) * 1e6
-
-    t0 = time.perf_counter()
-    for _ in range(max(2, iters // 2)):
-        enc.encrypt_symmetric(plain)
-    res["encrypt"] = (time.perf_counter() - t0) / max(2, iters // 2) * 1e6
-
-    t0 = time.perf_counter()
-    for _ in range(max(2, iters // 2)):
-        dec.decrypt(ct1)
-    res["decrypt"] = (time.perf_counter() - t0) / max(2, iters // 2) * 1e6
+        res["encode_host"] = _wall_us(lambda: encoder.encode(vals, scale), 3)
+        pt = dec.decrypt(ct1)
+        res["decode_host"] = _wall_us(lambda: encoder.decode(pt), 3)
+    else:
+        res["encode_host"] = _wall_us(lambda: encoder.encode(vals), 3)
+        pt = dec.decrypt(ct1)
+        res["decode_host"] = _wall_us(lambda: encoder.decode(pt), 3)
+    res["encrypt_host"] = _wall_us(lambda: enc.encrypt_symmetric(plain), 3)
+    res["decrypt_host"] = _wall_us(lambda: dec.decrypt(ct1), 3)
 
     return res
 
 
+def bench_ntt(n, chain_lo, chain_hi):
+    """NTT microbench: forward/inverse over the default chain's k limbs."""
+    import jax
+    import jax.numpy as jnp
+
+    from seal_tpu.context import SealContext
+    from seal_tpu.modulus import CoeffModulus, SecurityLevel
+    from seal_tpu.params import EncryptionParameters, SchemeType
+    from seal_tpu.ops import ntt as NTT
+    from seal_tpu.profiling import chained_device_time_us
+
+    cpu = jax.devices("cpu")[0]
+    target = jax.devices()[0]
+    with jax.default_device(cpu):
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+        ctx = SealContext(parms, True, SecurityLevel.TC128)
+        cd = ctx.first_context_data()
+        t = cd.limb_tables()
+        k = len(cd.coeff_modulus_values)
+        rng = np.random.default_rng(1)
+        x64 = rng.integers(0, np.array(cd.coeff_modulus_values)[:, None], (k, n), dtype=np.uint64)
+        x = (x64.astype(np.uint32), (x64 >> np.uint64(32)).astype(np.uint32))
+
+    t = jax.device_put(t, target)
+    x = jax.device_put((jnp.asarray(x[0]), jnp.asarray(x[1])), target)
+
+    # forward output is in [0,q): feeds the next iteration directly, so the
+    # chain is naturally serialized with no select needed
+    fwd = chained_device_time_us(lambda c: NTT.ntt_forward(c, t), x, lo=chain_lo, hi=chain_hi, repeats=3)
+    inv = chained_device_time_us(lambda c: NTT.ntt_inverse(c, t), x, lo=chain_lo, hi=chain_hi, repeats=3)
+    return {"ntt_forward": fwd, "ntt_inverse": inv, "k": k}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", default="4096,8192,16384")
+    ap.add_argument("--sizes", default="4096,8192,16384,32768")
     ap.add_argument("--schemes", default="ckks,bfv,bgv")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--lo", type=int, default=5)
+    ap.add_argument("--hi", type=int, default=45)
+    ap.add_argument("--ntt", action="store_true", help="also run the NTT microbench")
     ap.add_argument("--out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
-    _enable_compile_cache()
     baseline = {}
     bp = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BASELINE_CPU.json")
     if os.path.exists(bp):
         baseline = json.load(open(bp))
 
     all_results = {}
+    if os.path.exists(args.out):
+        try:
+            all_results = json.load(open(args.out))
+        except Exception:
+            all_results = {}
+    all_results.setdefault("_method", "in-dispatch chained fori_loop slope (profiling.chained_device_time_us)")
+
     for scheme in args.schemes.split(","):
+        if not scheme:
+            continue
         for size in (int(s) for s in args.sizes.split(",")):
             print(f"=== {scheme} n={size} ===", flush=True)
-            res = bench_scheme(scheme, size, args.iters)
+            res = bench_scheme(scheme, size, args.lo, args.hi)
             all_results[f"{scheme}_{size}"] = res
             base = baseline.get(scheme, {}).get(str(size), {})
             for op, us in sorted(res.items()):
                 b = base.get(op) or base.get(op.replace("_rows", "").replace("_one_step", " one step"))
-                speed = f"  {b / us:8.1f}x vs CPU" if b else ""
+                speed = f"  {b / us:8.1f}x vs CPU" if b and us else ""
                 print(f"  {op:24s} {us:10.1f} us{speed}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(all_results, f, indent=2)
 
-    with open(args.out, "w") as f:
-        json.dump(all_results, f, indent=2)
+    if args.ntt:
+        for size in (int(s) for s in args.sizes.split(",")):
+            print(f"=== ntt n={size} ===", flush=True)
+            res = bench_ntt(size, args.lo, max(args.hi, 13))
+            all_results[f"ntt_{size}"] = res
+            for op, us in sorted(res.items()):
+                print(f"  {op:24s} {us:10.1f}", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(all_results, f, indent=2)
+
     print(f"wrote {args.out}")
 
 

@@ -154,26 +154,60 @@ class CKKSEncoder:
         # Round half away from zero, exact integers via Python ints
         qv = cd.coeff_modulus_values
         k = len(qv)
-        rns = np.zeros((k, n), dtype=np.uint64)
+        from .context import jit_cached
+
         if max_coeff_bits <= 52:
             # Fast path: coefficients fit a double exactly; vectorized numpy
+            rns = np.zeros((k, n), dtype=np.uint64)
             neg = np.signbit(coeffs)
             absr = np.floor(np.abs(coeffs) + 0.5).astype(np.uint64)
             for j, q in enumerate(qv):
                 red = absr % np.uint64(q)
                 rns[j] = np.where(neg, (np.uint64(q) - red) % np.uint64(q), red)
+            fwd = jit_cached(cd, ("ckks_encode_ntt", cd.parms_id),
+                             lambda d: NTT.ntt_forward(d, cd.limb_tables()))
+            ntt_data = fwd(U.from_np_u64(rns))
         else:
-            rounded = [
-                int(math.floor(abs(c) + 0.5)) * (-1 if c < 0 else 1) for c in coeffs
-            ]
+            # Wide tier (reference's 128-bit / multiprecision tiers,
+            # ckks.h:593-667), vectorized: every |coeff| >= 2^52 double IS an
+            # integer m * 2^e (53-bit significand); reduce m * 2^e mod q_j on
+            # device as gather(2^e mod q_j) * m with Barrett.  Identical
+            # values to the Python-int path, no per-coefficient loops.
+            absc = np.abs(coeffs)
+            neg = np.signbit(coeffs)
+            small = absc < 9007199254740992.0  # 2^53
+            rounded_small = np.floor(absc + 0.5)
+            mant, exp = np.frexp(absc)
+            m_wide = np.round(mant * 9007199254740992.0).astype(np.uint64)
+            e_wide = (exp - 53).astype(np.int32)
+            m_all = np.where(small, np.where(small, rounded_small, 0.0).astype(np.uint64), m_wide)
+            e_all = np.where(small, np.int32(0), e_wide)
+
+            max_e = int(e_all.max()) + 1
+            pow2 = np.zeros((k, max_e), dtype=np.uint64)
             for j, q in enumerate(qv):
-                rns[j] = np.array([r % q for r in rounded], dtype=np.uint64)
+                p = 1
+                for e in range(max_e):
+                    pow2[j, e] = p
+                    p = (p << 1) % q
 
-        from .context import jit_cached
+            def builder(m_pair, e_arr, neg_arr):
+                import jax.numpy as jnp
+                from .ops.rns import _ratio
 
-        fwd = jit_cached(cd, ("ckks_encode_ntt", cd.parms_id),
-                         lambda d: NTT.ntt_forward(d, cd.limb_tables()))
-        ntt_data = fwd(U.from_np_u64(rns))
+                t = cd.limb_tables()
+                rlo, rhi = _ratio(qv)
+                p_lo, p_hi = U.from_np_u64(pow2)
+                pe = (p_lo[:, e_arr], p_hi[:, e_arr])  # (k, n) gathered 2^e mod q_j
+                m_red = U.barrett_reduce_64((m_pair[0][None], m_pair[1][None]), t.q, rhi)
+                r = U.mul_mod(m_red, pe, t.q, rlo, rhi)
+                r_neg = U.neg_mod(r, t.q)
+                out = (jnp.where(neg_arr[None], r_neg[0], r[0]),
+                       jnp.where(neg_arr[None], r_neg[1], r[1]))
+                return NTT.ntt_forward(out, t)
+
+            fwd = jit_cached(cd, ("ckks_encode_wide_ntt", cd.parms_id, max_e), builder)
+            ntt_data = fwd(U.from_np_u64(m_all), e_all, neg)
         p = Plaintext()
         p.parms_id = parms_id
         p.scale = scale
@@ -242,34 +276,25 @@ class CKKSEncoder:
         if not (plain.scale > 0 and math.floor(math.log2(plain.scale)) < cd.total_coeff_modulus_bit_count):
             raise ValueError("scale out of bounds")
 
-        n = self.n
         from .context import jit_cached
 
-        intt = jit_cached(cd, ("ckks_decode_intt", cd.parms_id),
-                          lambda d: NTT.ntt_inverse(d, cd.limb_tables()))
-        residues = U.to_np_u64(intt(plain.rns_data))
-        q_total = cd.total_coeff_modulus
-        values = cd.base_q.compose_array(residues)
-        upper_half = cd.upper_half_threshold
+        def builder(d):
+            from .ops.rns import _cshoup
 
-        inv_scale = 1.0 / plain.scale
-        res = np.zeros(n, dtype=np.float64)
-        for i, v in enumerate(values):
-            # centered value, accumulated per 64-bit word in doubles
-            # (matches reference's two_pow_64 ladder exactly)
-            if v >= upper_half:
-                c = v - q_total
-            else:
-                c = v
-            neg = c < 0
-            c = -c if neg else c
-            acc = 0.0
-            p = inv_scale
-            while c:
-                acc += (c & 0xFFFFFFFFFFFFFFFF) * p
-                c >>= 64
-                p *= 18446744073709551616.0
-            res[i] = -acc if neg else acc
+            x = NTT.ntt_inverse(d, cd.limb_tables())
+            # fold the CRT scaling (* inv_punctured_i mod q_i) into the
+            # device dispatch so the host compose is a plain word-matrix
+            op, qt = _cshoup(cd.base_q.inv_punctured, cd.coeff_modulus_values)
+            return U.mul_mod_shoup(x, op, qt, cd.limb_tables().q)
+
+        intt_scaled = jit_cached(cd, ("ckks_decode_intt_scaled", cd.parms_id), builder)
+        scaled = U.to_np_u64(intt_scaled(plain.rns_data))
+        # exact vectorized CRT compose + centered double ladder — bit-identical
+        # to the reference's multiprecision path (ckks.h:683-787), with the
+        # per-coefficient Python loops replaced by word-plane numpy ops
+        res = cd.base_q.compose_scaled_centered_double(
+            scaled, cd.upper_half_threshold, 1.0 / plain.scale
+        )
 
         slots_out = self._fft_to_rev(res.astype(np.complex128))
         return slots_out[self.index_map[: self.slots]]

@@ -132,16 +132,24 @@ def chained_device_time_us(step, init, lo: int = 4, hi: int = 20, repeats: int =
     def run(k):
         _force_fetch(chain(k, init))
 
-    run(lo)  # compile both executables before timing
-    run(hi)
-
     def timed(k):
         t0 = _time.perf_counter()
         run(k)
         return _time.perf_counter() - t0
 
-    t_lo = min(timed(lo) for _ in range(repeats))
-    t_hi = min(timed(hi) for _ in range(repeats))
+    # the tunnel's dispatch+fetch round-trip has multi-ms jitter; grow the
+    # chain span until the K-dependent signal clears it decisively
+    min_signal_s = 20e-3
+    for _ in range(6):
+        run(lo)  # compile both executables before timing
+        run(hi)
+        t_lo = min(timed(lo) for _ in range(repeats))
+        t_hi = min(timed(hi) for _ in range(repeats))
+        signal = t_hi - t_lo
+        if signal >= min_signal_s or hi - lo >= 4096:
+            break
+        factor = max(2, int(min_signal_s / max(signal, 1e-3)) + 1)
+        hi = lo + min(4096, (hi - lo) * factor)
     return max(0.0, (t_hi - t_lo) / (hi - lo)) * 1e6
 
 

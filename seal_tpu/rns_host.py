@@ -90,6 +90,165 @@ class HostRNSBase:
             out[i] = np.array([int(v) % q for v in values], dtype=np.uint64)
         return out
 
+    def _punctured_words32(self) -> List[List[int]]:
+        """Punctured products as little-endian 32-bit word lists (cached)."""
+        cached = getattr(self, "_punct_w32", None)
+        if cached is None:
+            cached = []
+            for p in self.punctured_prod:
+                words = []
+                while p:
+                    words.append(p & 0xFFFFFFFF)
+                    p >>= 32
+                cached.append(words or [0])
+            self._punct_w32 = cached
+        return cached
+
+    def compose_scaled_words(self, scaled: np.ndarray) -> np.ndarray:
+        """Exact vectorized CRT compose from pre-scaled residues.
+
+        ``scaled``: (k, n) uint64 with scaled[i] = residue_i * inv_punctured_i
+        mod q_i.  Returns (W, n) uint64 holding little-endian 32-bit words of
+        v = sum_i scaled_i * punctured_i mod base_prod, in [0, base_prod).
+        All arithmetic is numpy uint64 on 32-bit payloads (exact); the only
+        Python-level loops are over limbs and words, never coefficients.
+        """
+        k, n = scaled.shape
+        mask = np.uint64(0xFFFFFFFF)
+        W = (self.base_prod.bit_length() + 31) // 32
+        acc = np.zeros((W + 3, n), dtype=np.uint64)
+        pw32 = self._punctured_words32()
+        for i in range(k):
+            c = scaled[i].astype(np.uint64)
+            c_lo = c & mask
+            c_hi = c >> np.uint64(32)
+            for w, pword in enumerate(pw32[i]):
+                pw = np.uint64(pword)
+                t1 = c_lo * pw
+                acc[w] += t1 & mask
+                acc[w + 1] += t1 >> np.uint64(32)
+                t2 = c_hi * pw
+                acc[w + 1] += t2 & mask
+                acc[w + 2] += t2 >> np.uint64(32)
+            # keep headroom: each position gains < 4*2^32 per limb; propagate
+            # every 16 limbs (worst case 16*4*2^32 < 2^38 << 2^64)
+            if (i & 15) == 15:
+                self._mw_normalize(acc)
+        self._mw_normalize(acc)
+
+        # v < k * base_prod: estimate the multiple in float64 from the top
+        # words (error << 1), subtract, then at most two exact fix-ups
+        qw = []
+        p = self.base_prod
+        while p:
+            qw.append(p & 0xFFFFFFFF)
+            p >>= 32
+        # estimate from the top ~10 words only, in units of 2^(32*base), so
+        # the floats stay finite for arbitrarily wide bases (k up to 64)
+        base = max(0, len(acc) - 10)
+        v_f = np.zeros(n, dtype=np.float64)
+        for w in range(base, len(acc)):
+            v_f += acc[w].astype(np.float64) * float(1 << (32 * (w - base)))
+        q_scaled = float(self.base_prod >> (32 * base)) if base else float(self.base_prod)
+        m = np.floor(v_f / q_scaled)
+        m = np.maximum(m - 1.0, 0.0).astype(np.uint64)
+        if m.any():
+            sub = self._mw_scalar_mul(m, qw, len(acc), n)
+            acc, _ = self._mw_sub(acc, sub)
+        qw_arr = np.zeros((len(acc), n), dtype=np.uint64)
+        for w, q in enumerate(qw):
+            qw_arr[w] = np.uint64(q)
+        for _ in range(3):
+            diff, borrow = self._mw_sub(acc, qw_arr)
+            take = borrow == 0
+            if not take.any():
+                break
+            for w in range(len(acc)):
+                acc[w] = np.where(take, diff[w], acc[w])
+        return acc[:W]
+
+    @staticmethod
+    def _mw_normalize(acc: np.ndarray) -> None:
+        mask = np.uint64(0xFFFFFFFF)
+        for w in range(len(acc) - 1):
+            acc[w + 1] += acc[w] >> np.uint64(32)
+            acc[w] &= mask
+
+    @staticmethod
+    def _mw_scalar_mul(m: np.ndarray, q_words: List[int], W: int, n: int) -> np.ndarray:
+        """(n,) small scalar vector times multiword constant -> (W, n)."""
+        out = np.zeros((W, n), dtype=np.uint64)
+        carry = np.zeros(n, dtype=np.uint64)
+        mask = np.uint64(0xFFFFFFFF)
+        for w, qword in enumerate(q_words):
+            t = m * np.uint64(qword) + carry
+            out[w] = t & mask
+            carry = t >> np.uint64(32)
+        if len(q_words) < W:
+            out[len(q_words)] = carry
+        return out
+
+    @staticmethod
+    def _mw_sub(a: np.ndarray, b: np.ndarray):
+        """Multiword subtract (32-bit payloads): returns (diff, borrow)."""
+        mask = np.uint64(0xFFFFFFFF)
+        diff = np.zeros_like(a)
+        borrow = np.zeros(a.shape[1], dtype=np.uint64)
+        for w in range(len(a)):
+            bw = b[w] if w < len(b) else np.uint64(0)
+            t = a[w] - bw - borrow
+            diff[w] = t & mask
+            borrow = (t >> np.uint64(32)) & np.uint64(1)
+        return diff, borrow
+
+    def compose_scaled_centered_double(
+        self, scaled: np.ndarray, upper_half_threshold: int, inv_scale: float
+    ) -> np.ndarray:
+        """Centered lift of the composed value to float64 * inv_scale.
+
+        Bit-identical to the reference's per-64-bit-word double ladder
+        (``ckks.h:746-781``): same word order, same rounding sequence.
+        """
+        words = self.compose_scaled_words(scaled)
+        W, n = words.shape
+        uh = []
+        p = upper_half_threshold
+        while p:
+            uh.append(p & 0xFFFFFFFF)
+            p >>= 32
+        uh_arr = np.zeros((W, n), dtype=np.uint64)
+        for w, u in enumerate(uh):
+            uh_arr[w] = np.uint64(u)
+        _, borrow = self._mw_sub(words, uh_arr)
+        is_upper = borrow == 0  # v >= (q+1)/2  ->  centered value is negative
+        qw_arr = np.zeros((W, n), dtype=np.uint64)
+        p = self.base_prod
+        w = 0
+        while p:
+            qw_arr[w] = np.uint64(p & 0xFFFFFFFF)
+            p >>= 32
+            w += 1
+        q_minus_v, _ = self._mw_sub(qw_arr, words)
+        mag = np.where(is_upper[None, :], q_minus_v, words)
+
+        # reference semantics: the ladder runs only while words remain
+        # (``while c:``) — a suffix-nonzero mask reproduces that exactly and
+        # keeps 0 * inf out of lanes whose value has already been consumed
+        nz = mag != 0
+        suffix_nz = np.flip(np.logical_or.accumulate(np.flip(nz, axis=0), axis=0), axis=0)
+        res = np.zeros(n, dtype=np.float64)
+        scale_ladder = float(inv_scale)
+        with np.errstate(invalid="ignore", over="ignore"):
+            for w64 in range(0, W, 2):
+                f = mag[w64].astype(np.float64)
+                live = suffix_nz[w64]
+                if w64 + 1 < W:
+                    f = f + mag[w64 + 1].astype(np.float64) * 4294967296.0
+                    live = np.logical_or(live, suffix_nz[w64 + 1])
+                res += np.where(live, f * scale_ladder, 0.0)
+                scale_ladder *= 18446744073709551616.0
+        return np.where(is_upper, -res, res)
+
     def compose_array(self, residues: np.ndarray) -> List[int]:
         """(k, n) -> list of n Python ints in [0, base_prod).
 
