@@ -226,7 +226,9 @@ def bench_ntt(n, chain_lo, chain_hi):
         x64 = rng.integers(0, np.array(cd.coeff_modulus_values)[:, None], (k, n), dtype=np.uint64)
         x = (x64.astype(np.uint32), (x64 >> np.uint64(32)).astype(np.uint32))
 
-    t = jax.device_put(t, target)
+    t = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, target) if hasattr(a, "shape") else a, t
+    )
     x = jax.device_put((jnp.asarray(x[0]), jnp.asarray(x[1])), target)
 
     # forward output is in [0,q): feeds the next iteration directly, so the
