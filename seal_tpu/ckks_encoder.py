@@ -38,6 +38,8 @@ class CKKSEncoder:
         n = cd.parms.poly_modulus_degree
         self.n = n
         self.slots = n >> 1
+        #: reference-parity alias (CKKSEncoder::slot_count, ckks.h)
+        self.slot_count = self.slots
         logn = n.bit_length() - 1
         self.logn = logn
         m = n << 1

@@ -30,6 +30,7 @@ from .modulus import (
     PLAIN_MOD_BIT_COUNT_MAX,
     PLAIN_MOD_BIT_COUNT_MIN,
     MOD_BIT_COUNT_MAX,
+    USER_MOD_BIT_COUNT_MAX,
     MOD_BIT_COUNT_MIN,
     SecurityLevel,
 )
@@ -320,7 +321,9 @@ class SealContext:
             return cd
 
         for m in coeff_modulus:
-            if m.value >> MOD_BIT_COUNT_MAX or not (m.value >> (MOD_BIT_COUNT_MIN - 1)):
+            # user coeff moduli are capped at 60 bits (context.cpp:168,
+            # SEAL_USER_MOD_BIT_COUNT_MAX); 61-bit values are internal-only
+            if m.value >> USER_MOD_BIT_COUNT_MAX or not (m.value >> (MOD_BIT_COUNT_MIN - 1)):
                 q.parameter_error = ErrorType.INVALID_COEFF_MODULUS_BIT_COUNT
                 return cd
             if not m.is_prime:

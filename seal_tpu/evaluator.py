@@ -75,29 +75,72 @@ def _balance_correction_factors(factor1: int, factor2: int, t: int):
 
 
 def _is_scale_within_bounds(scale: float, cd: ContextData) -> bool:
+    """Mirrors the reference's is_scale_within_bounds (evaluator.cpp:29-48):
+    scale must be a positive *normal* double below the modulus bit bound."""
+    import math
+    import sys
+
     scheme = cd.parms.scheme
     scale_bit_count_bound = -1
     if scheme == SchemeType.BFV or scheme == SchemeType.BGV:
         scale_bit_count_bound = cd.parms.plain_modulus.bit_count
     elif scheme == SchemeType.CKKS:
         scale_bit_count_bound = cd.total_coeff_modulus_bit_count
-    if scale <= 0:
+    # !isnormal(scale): zero, subnormal, inf and nan all fail
+    if scale <= 0 or not math.isfinite(scale) or scale < sys.float_info.min:
         return False
-    import math
-
     return not (math.floor(math.log2(scale)) >= scale_bit_count_bound)
 
 
 class Evaluator:
-    def __init__(self, context: SealContext, throw_on_transparent: bool = True):
+    def __init__(self, context: SealContext, throw_on_transparent: bool = True, mesh=None):
         """``throw_on_transparent`` mirrors the reference's
         SEAL_THROW_ON_TRANSPARENT_CIPHERTEXT build option (default ON).  On
         TPU the check forces a device sync per op, so latency-critical
-        pipelines may disable it."""
+        pipelines may disable it.
+
+        ``mesh`` (an ``HEMesh``) makes the evaluator mesh-aware: key tensors
+        and ciphertexts placed with :meth:`shard_keys` / :meth:`shard` carry
+        NamedShardings over the mesh's limb axis, and the same jitted op
+        bodies then execute sharded (GSPMD inserts the base-conversion /
+        key-switch collectives of SURVEY.md §2.12).  No mesh = single-chip,
+        identical numerics.
+        """
         if not context.parameters_set:
             raise ValueError("encryption parameters are not set correctly")
         self.context = context
         self.throw_on_transparent = throw_on_transparent
+        self.hem = mesh
+
+    # ------------------------------------------------------------------
+    # mesh placement (multi-chip story; no-ops without a mesh)
+    # ------------------------------------------------------------------
+    def shard(self, ct: Ciphertext) -> Ciphertext:
+        """Place a ciphertext's RNS limbs over the mesh's limb axis."""
+        if self.hem is None:
+            return ct
+        import jax
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(self.hem.mesh, self.hem.ct_spec())
+        out = ct.copy()
+        out.data = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), ct.data)
+        return out
+
+    def shard_keys(self, keys: KSwitchKeys) -> KSwitchKeys:
+        """Place key-switch key tensors (decomposition axis) over the mesh's
+        limb axis, once, ahead of the op stream."""
+        if self.hem is None:
+            return keys
+        from .parallel.mesh import shard_kswitch_key
+
+        out = type(keys)()
+        out.parms_id = keys.parms_id
+        out.keys = [
+            None if entry is None else shard_kswitch_key(self.hem, entry)
+            for entry in keys.keys
+        ]
+        return out
 
     def _jit(self, key, builder):
         """Cache jit-compiled op bodies per (op, level, shape) key.
@@ -123,6 +166,12 @@ class Evaluator:
         cd = self.context.get_context_data(ct.parms_id)
         if cd is None:
             raise ValueError("ciphertext is not valid for encryption parameters")
+        if ct.seed_info is not None:
+            # Serialization-only representation: c1 is a seed, not data
+            # (is_buffer_valid rejection of seeded objects, ciphertext.h:711-725)
+            raise ValueError("ciphertext is not valid for encryption parameters (contains a seed)")
+        if ct.size < 2:
+            raise ValueError("ciphertext is empty or invalid")
         return cd
 
     def _check_transparent(self, ct: Ciphertext):
@@ -410,6 +459,20 @@ class Evaluator:
         ``target`` is one RNS polynomial (D, n) in the ciphertext's domain.
         """
         cd = self._cd(ct)
+        scheme = cd.parms.scheme
+        # scheme/NTT-form consistency (switch_key_inplace, evaluator.cpp:2600-2611)
+        if scheme == SchemeType.BFV and ct.is_ntt_form:
+            raise ValueError("BFV encrypted cannot be in NTT form")
+        if scheme in (SchemeType.CKKS, SchemeType.BGV) and not ct.is_ntt_form:
+            raise ValueError(f"{scheme.name} encrypted must be in NTT form")
+        if not self.context.using_keyswitching:
+            raise ValueError("keyswitching is not supported by the context")
+        # A truncated unsafe-loaded key blob may carry fewer decomposition
+        # limbs than the level needs (RelinearizeShortKeyVector); more is fine
+        # (RelinearizeLowerLevel keeps the >= contract).
+        D = len(cd.parms.coeff_modulus)
+        if key is None or key["c0"][0].shape[0] < D:
+            raise ValueError("key-switching keys are invalid for encryption parameters")
         fn = self._jit(
             ("switch_key", ct.parms_id, ct.size, cd.parms.scheme),
             lambda data, tgt, kc0, kc1: self._switch_key_body(cd, ct.size, data, tgt, kc0, kc1),
@@ -585,6 +648,13 @@ class Evaluator:
         next_cd = cd.next_context_data
         if next_cd is None:
             raise ValueError("end of modulus switching chain reached")
+        if scheme == SchemeType.CKKS:
+            # both the current and the destination scale must stay normal and
+            # in bounds (evaluator.cpp:1232-1238)
+            if not _is_scale_within_bounds(ct.scale, cd) or not _is_scale_within_bounds(
+                ct.scale / cd.coeff_modulus_values[-1], next_cd
+            ):
+                raise ValueError("scale out of bounds")
         def body(data):
             tool = cd.rns_tool
             tables = cd.limb_tables()
@@ -888,6 +958,13 @@ class Evaluator:
         if galois_keys.parms_id != self.context.key_parms_id:
             raise ValueError("galois_keys is not valid for encryption parameters")
         n = cd.parms.poly_modulus_degree
+        scheme = cd.parms.scheme
+        # scheme/NTT-form consistency: reject without touching the operand
+        # (ApplyGaloisRejectsWrongNttFormWithoutMutating)
+        if scheme == SchemeType.BFV and ct.is_ntt_form:
+            raise ValueError("BFV encrypted cannot be in NTT form")
+        if scheme in (SchemeType.CKKS, SchemeType.BGV) and not ct.is_ntt_form:
+            raise ValueError(f"{scheme.name} encrypted must be in NTT form")
         if not (galois_elt & 1) or galois_elt >= 2 * n:
             raise ValueError("Galois element is not valid")
         if ct.size > 2:
@@ -900,6 +977,8 @@ class Evaluator:
         # permutation tables are traced args, so a single executable serves
         # every Galois element at this level).
         key = galois_keys.key(galois_elt)
+        if key is None or key["c0"][0].shape[0] < len(cd.parms.coeff_modulus):
+            raise ValueError("key-switching keys are invalid for encryption parameters")
         if not ct.is_ntt_form:
             src, neg = tool.coeff_table(galois_elt)
             perm_args = (jnp.asarray(src), jnp.asarray(neg))

@@ -24,9 +24,11 @@ from .default_params import (
     DEFAULT_COEFF_MODULUS_256,
 )
 
-MOD_BIT_COUNT_MAX = 61          # user moduli (util/defines.h:40)
+MOD_BIT_COUNT_MAX = 61          # Modulus representation limit (util/defines.h:33)
 MOD_BIT_COUNT_MIN = 2
-INTERNAL_MOD_BIT_COUNT = 61     # aux/internal RNS primes
+USER_MOD_BIT_COUNT_MAX = 60     # user coeff moduli (util/defines.h:40) — the
+USER_MOD_BIT_COUNT_MIN = 2      # 61-bit headroom is reserved for internal primes
+INTERNAL_MOD_BIT_COUNT = 61     # aux/internal RNS primes (util/defines.h:37)
 PLAIN_MOD_BIT_COUNT_MAX = 60
 PLAIN_MOD_BIT_COUNT_MIN = 2
 COEFF_MOD_COUNT_MAX = 64        # reference allows 256; 64 is ample for TPU build
@@ -146,7 +148,7 @@ class CoeffModulus:
             raise ValueError("poly_modulus_degree must be a power of 2 in range")
         if not (COEFF_MOD_COUNT_MIN <= len(bit_sizes) <= COEFF_MOD_COUNT_MAX):
             raise ValueError("bit_sizes is invalid")
-        if any(b > MOD_BIT_COUNT_MAX or b < MOD_BIT_COUNT_MIN for b in bit_sizes):
+        if any(b > USER_MOD_BIT_COUNT_MAX or b < USER_MOD_BIT_COUNT_MIN for b in bit_sizes):
             raise ValueError("bit_sizes is invalid")
 
         factor = 2 * poly_modulus_degree

@@ -120,6 +120,14 @@ def _matmul_mod(x: U64, b_planes, eq: str, kchunk: int, t: MXUTables) -> U64:
     assert len(shared) == 1 and lhs[-1] == shared[0]
     nchunks = max(1, K // kchunk)
 
+    # All P constant planes ride ONE dot per data plane: 'p' becomes a free
+    # lhs dimension, turning P^2 small (M=128) matmuls into P tall (M=128*P)
+    # ones — fewer dispatches, better MXU occupancy (the n>=16384 lever).
+    lhs_out = eq.split("->")
+    out_labels = lhs_out[1]
+    assert out_labels.startswith("...")
+    eq_stacked = "p" + lhs + "," + rhs + "->..." + "p" + out_labels[3:]
+
     acc = None
     for ch in range(nchunks):
         sl = slice(ch * kchunk, (ch + 1) * kchunk) if nchunks > 1 else slice(None)
@@ -133,10 +141,11 @@ def _matmul_mod(x: U64, b_planes, eq: str, kchunk: int, t: MXUTables) -> U64:
                 idx = [slice(None)] * xi.ndim
                 idx[pos] = sl
                 xi = xi[tuple(idx)]
+            part_i = jnp.einsum(
+                eq_stacked, bc, xi, preferred_element_type=jnp.int32
+            )  # (..., P, <3 out labels>)
             for j in range(P):
-                pij = jnp.einsum(
-                    eq, bc[j], xi, preferred_element_type=jnp.int32
-                )
+                pij = part_i[..., j, :, :, :]
                 s = i + j
                 planes_out[s] = pij if planes_out[s] is None else planes_out[s] + pij
                 bounds[s] += db[i] * db[j] * min(kchunk, K)

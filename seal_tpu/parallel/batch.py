@@ -16,11 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..context import SealContext
-from ..data import Ciphertext, RelinKeys
+from ..data import Ciphertext, GaloisKeys, Plaintext, RelinKeys
 from ..evaluator import Evaluator, _stack_polys
+from ..ops import ntt as NTT
+from ..ops import poly as P_ops
 from ..ops import rns as R
 from ..params import ParmsId, SchemeType
-from .mesh import HEMesh, shard_batch
+from .mesh import HEMesh, shard_batch, shard_kswitch_key
 
 
 @dataclass
@@ -90,6 +92,8 @@ class BatchEvaluator:
             raise ValueError("parameter mismatch")
         cd = self.context.get_context_data(b1.parms_id)
         scheme = cd.parms.scheme
+        if scheme == SchemeType.BFV:
+            return self._bfv_multiply(b1, b2)
         size1, size2 = b1.size, b2.size
 
         def single(d1, d2):
@@ -110,12 +114,88 @@ class BatchEvaluator:
             cf = b1.correction_factor * b2.correction_factor % cd.parms.plain_modulus.value
         return CiphertextBatch(fn(b1.data, b2.data), b1.parms_id, b1.is_ntt_form, out_scale, cf)
 
+    def _bfv_multiply(self, b1: CiphertextBatch, b2: CiphertextBatch) -> CiphertextBatch:
+        """Batched BEHZ multiply: each stage of the evaluator's staged
+        pipeline (extend / convolve / floor+SK) vmapped over the batch axis,
+        same dispatch boundaries (fusing the stages mis-schedules in XLA)."""
+        if b1.is_ntt_form or b2.is_ntt_form:
+            raise ValueError("BFV operands cannot be in NTT form")
+        cd = self.context.get_context_data(b1.parms_id)
+        tool = cd.rns_tool
+        pid = b1.parms_id
+        size1, size2 = b1.size, b2.size
+
+        ntt_q = self._jit(
+            ("batchb_ntt_q", pid),
+            lambda d: jax.vmap(lambda x: NTT.ntt_forward(x, cd.limb_tables(), lazy=True))(d),
+        )
+        ext_bsk = self._jit(
+            ("batchb_ext", pid),
+            lambda d: jax.vmap(lambda x: R.sm_mrq(R.fastbconv_m_tilde(x, tool), tool))(d),
+        )
+        ntt_bsk = self._jit(
+            ("batchb_ntt_bsk", pid),
+            lambda d: jax.vmap(lambda x: NTT.ntt_forward(x, cd.bsk_limb_tables(), lazy=True))(d),
+        )
+
+        def conv_builder(base):
+            t = cd.limb_tables() if base == "q" else cd.bsk_limb_tables()
+
+            def conv(d1, d2):
+                polys1 = [(d1[0][j], d1[1][j]) for j in range(size1)]
+                polys2 = [(d2[0][j], d2[1][j]) for j in range(size2)]
+                return _stack_polys(self.ev._convolve(polys1, polys2, t.q, t.ratio_lo, t.ratio_hi))
+
+            return lambda d1, d2: jax.vmap(conv)(d1, d2)
+
+        conv_q = self._jit(("batchb_conv_q", pid, size1, size2), conv_builder("q"))
+        conv_b = self._jit(("batchb_conv_b", pid, size1, size2), conv_builder("b"))
+
+        from ..ops.rns import _cshoup
+        from ..ops import u64 as U
+
+        tv = cd.parms.plain_modulus.value
+        qv = cd.coeff_modulus_values
+        bskv = tool.base_Bsk.values
+
+        def intt_scale_builder(base):
+            t = cd.limb_tables() if base == "q" else cd.bsk_limb_tables()
+            mods = qv if base == "q" else bskv
+
+            def f(d):
+                op, qt = _cshoup([tv % q for q in mods], mods)
+                y = NTT.ntt_inverse(d, t, lazy=True)
+                return U.mul_mod_shoup(y, op, qt, t.q)
+
+            return lambda d: jax.vmap(f)(d)
+
+        intt_q = self._jit(("batchb_intt_q", pid), intt_scale_builder("q"))
+        intt_b = self._jit(("batchb_intt_b", pid), intt_scale_builder("b"))
+        tail = self._jit(
+            ("batchb_tail", pid),
+            lambda d: jax.vmap(lambda x: R.fastbconv_sk(R.fast_floor(x, tool), tool))(d),
+        )
+
+        e1_q, e1_b = ntt_q(b1.data), ntt_bsk(ext_bsk(b1.data))
+        e2_q, e2_b = ntt_q(b2.data), ntt_bsk(ext_bsk(b2.data))
+        dq = intt_q(conv_q(e1_q, e2_q))
+        db = intt_b(conv_b(e1_b, e2_b))
+        joined = (
+            jnp.concatenate([dq[0], db[0]], axis=2),
+            jnp.concatenate([dq[1], db[1]], axis=2),
+        )
+        return CiphertextBatch(
+            tail(joined), b1.parms_id, False, b1.scale, b1.correction_factor
+        )
+
     def relinearize(self, batch: CiphertextBatch, relin_keys: RelinKeys) -> CiphertextBatch:
         cd = self.context.get_context_data(batch.parms_id)
         size = batch.size
         if size != 3:
             raise ValueError("batched relinearize currently supports size-3 inputs")
         key = relin_keys.key(2)
+        if self.hem is not None:
+            key = shard_kswitch_key(self.hem, key)
 
         def single(d, kc0, kc1):
             trimmed = (d[0][:2], d[1][:2])
@@ -152,13 +232,179 @@ class BatchEvaluator:
         )
 
     def add(self, b1: CiphertextBatch, b2: CiphertextBatch) -> CiphertextBatch:
+        return self._add_sub(b1, b2, True)
+
+    def sub(self, b1: CiphertextBatch, b2: CiphertextBatch) -> CiphertextBatch:
+        return self._add_sub(b1, b2, False)
+
+    def _add_sub(self, b1: CiphertextBatch, b2: CiphertextBatch, is_add: bool) -> CiphertextBatch:
+        if b1.parms_id != b2.parms_id:
+            raise ValueError("parameter mismatch")
         cd = self.context.get_context_data(b1.parms_id)
 
         def single(d1, d2):
             from ..ops import u64 as U
 
             t = cd.limb_tables()
-            return U.add_mod(d1, d2, (t.q_lo[None], t.q_hi[None]))
+            q = (t.q_lo[None], t.q_hi[None])
+            return U.add_mod(d1, d2, q) if is_add else U.sub_mod(d1, d2, q)
 
-        fn = self._jit(("batch_add", b1.parms_id, b1.size), lambda d1, d2: jax.vmap(single)(d1, d2))
+        fn = self._jit(
+            ("batch_add_sub", b1.parms_id, b1.size, is_add),
+            lambda d1, d2: jax.vmap(single)(d1, d2),
+        )
         return CiphertextBatch(fn(b1.data, b2.data), b1.parms_id, b1.is_ntt_form, b1.scale, b1.correction_factor)
+
+    def negate(self, batch: CiphertextBatch) -> CiphertextBatch:
+        cd = self.context.get_context_data(batch.parms_id)
+
+        def single(d):
+            from ..ops import u64 as U
+
+            t = cd.limb_tables()
+            return U.neg_mod(d, (t.q_lo[None], t.q_hi[None]))
+
+        fn = self._jit(("batch_negate", batch.parms_id, batch.size), lambda d: jax.vmap(single)(d))
+        return CiphertextBatch(fn(batch.data), batch.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor)
+
+    def square(self, batch: CiphertextBatch) -> CiphertextBatch:
+        return self.multiply(batch, batch)
+
+    def mod_switch_to_next(self, batch: CiphertextBatch) -> CiphertextBatch:
+        """Scale variant for BFV/BGV, drop variant for CKKS (evaluator
+        mod_switch_to_next semantics), vmapped over the batch axis."""
+        cd = self.context.get_context_data(batch.parms_id)
+        next_cd = cd.next_context_data
+        if next_cd is None:
+            raise ValueError("end of modulus switching chain reached")
+        scheme = cd.parms.scheme
+        size = batch.size
+        if scheme == SchemeType.CKKS:
+            k_next = len(next_cd.parms.coeff_modulus)
+            return CiphertextBatch(
+                (batch.data[0][:, :, :k_next, :], batch.data[1][:, :, :k_next, :]),
+                next_cd.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor,
+            )
+
+        def single(d):
+            tool = cd.rns_tool
+            tables = cd.limb_tables()
+            if scheme == SchemeType.BFV:
+                op = lambda p: R.divide_and_round_q_last(p, tool)
+            else:
+                op = lambda p: R.mod_t_and_divide_q_last_ntt(p, tool, tables)
+            return _stack_polys([op((d[0][j], d[1][j])) for j in range(size)])
+
+        fn = self._jit(("batch_modswitch", batch.parms_id, size), lambda d: jax.vmap(single)(d))
+        cf = batch.correction_factor
+        if scheme == SchemeType.BGV:
+            cf = cf * cd.rns_tool.inv_q_last_mod_t % cd.parms.plain_modulus.value
+        return CiphertextBatch(
+            fn(batch.data), next_cd.parms_id, batch.is_ntt_form, batch.scale, cf
+        )
+
+    # -- rotations ---------------------------------------------------------
+    def apply_galois(self, batch: CiphertextBatch, galois_elt: int, galois_keys: GaloisKeys) -> CiphertextBatch:
+        """Galois permutation + key switch, vmapped; the key tensors are
+        broadcast (replicated or limb-sharded via the mesh)."""
+        cd = self.context.get_context_data(batch.parms_id)
+        if batch.size != 2:
+            raise ValueError("batched apply_galois requires size-2 ciphertexts")
+        if not galois_keys.has_key(galois_elt):
+            raise ValueError("Galois key not present")
+        tool = cd.galois_tool
+        key = galois_keys.key(galois_elt)
+        if self.hem is not None:
+            key = shard_kswitch_key(self.hem, key)
+
+        if not batch.is_ntt_form:
+            src, neg = tool.coeff_table(galois_elt)
+            perm_args = (jnp.asarray(src), jnp.asarray(neg))
+
+            def single(d, s, ng, kc0, kc1):
+                t = cd.limb_tables()
+                c0 = P_ops.apply_galois_coeff((d[0][0], d[1][0]), s, ng, t.q)
+                c1 = P_ops.apply_galois_coeff((d[0][1], d[1][1]), s, ng, t.q)
+                zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+                return self.ev._switch_key_body(cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1)
+
+            fn = self._jit(
+                ("batch_galois_coeff", batch.parms_id),
+                lambda d, s, ng, kc0, kc1: jax.vmap(single, in_axes=(0, None, None, None, None))(d, s, ng, kc0, kc1),
+            )
+        else:
+            perm_args = (jnp.asarray(tool.ntt_table(galois_elt)),)
+
+            def single(d, tab, kc0, kc1):
+                c0 = P_ops.apply_galois_ntt((d[0][0], d[1][0]), tab)
+                c1 = P_ops.apply_galois_ntt((d[0][1], d[1][1]), tab)
+                zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+                return self.ev._switch_key_body(cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1)
+
+            fn = self._jit(
+                ("batch_galois_ntt", batch.parms_id),
+                lambda d, tab, kc0, kc1: jax.vmap(single, in_axes=(0, None, None, None))(d, tab, kc0, kc1),
+            )
+        return CiphertextBatch(
+            fn(batch.data, *perm_args, key["c0"], key["c1"]),
+            batch.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor,
+        )
+
+    def _rotate_internal(self, batch: CiphertextBatch, steps: int, galois_keys: GaloisKeys) -> CiphertextBatch:
+        cd = self.context.get_context_data(batch.parms_id)
+        if steps == 0:
+            return batch
+        from .. import numth
+
+        elt = cd.galois_tool.get_elt_from_step(steps)
+        if galois_keys.has_key(elt):
+            return self.apply_galois(batch, elt, galois_keys)
+        naf_steps = numth.naf(steps)
+        if len(naf_steps) == 1:
+            raise ValueError("Galois key not present")
+        out = batch
+        for s in naf_steps:
+            out = self._rotate_internal(out, s, galois_keys)
+        return out
+
+    def rotate_rows(self, batch: CiphertextBatch, steps: int, galois_keys: GaloisKeys) -> CiphertextBatch:
+        if self.context.first_context_data().parms.scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        return self._rotate_internal(batch, steps, galois_keys)
+
+    def rotate_columns(self, batch: CiphertextBatch, galois_keys: GaloisKeys) -> CiphertextBatch:
+        if self.context.first_context_data().parms.scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        cd = self.context.get_context_data(batch.parms_id)
+        return self.apply_galois(batch, 2 * cd.parms.poly_modulus_degree - 1, galois_keys)
+
+    def rotate_vector(self, batch: CiphertextBatch, steps: int, galois_keys: GaloisKeys) -> CiphertextBatch:
+        if self.context.first_context_data().parms.scheme != SchemeType.CKKS:
+            raise ValueError("unsupported scheme")
+        return self._rotate_internal(batch, steps, galois_keys)
+
+    def multiply_plain(self, batch: CiphertextBatch, plain: Plaintext) -> CiphertextBatch:
+        """NTT-form plaintext dyadic multiply over the batch."""
+        if not (batch.is_ntt_form and plain.is_ntt_form):
+            raise ValueError("batched multiply_plain requires NTT forms")
+        if batch.parms_id != plain.parms_id:
+            raise ValueError("parameter mismatch")
+        cd = self.context.get_context_data(batch.parms_id)
+
+        def single(d, p_lo, p_hi):
+            from ..ops import u64 as U
+
+            t = cd.limb_tables()
+            pr = (p_lo[None], p_hi[None])
+            return U.mul_mod(d, pr, (t.q_lo[None], t.q_hi[None]),
+                             (t.ratio_lo_lo[None], t.ratio_lo_hi[None]),
+                             (t.ratio_hi_lo[None], t.ratio_hi_hi[None]))
+
+        fn = self._jit(
+            ("batch_mul_plain", batch.parms_id, batch.size),
+            lambda d, pl, ph: jax.vmap(single, in_axes=(0, None, None))(d, pl, ph),
+        )
+        return CiphertextBatch(
+            fn(batch.data, plain.rns_data[0], plain.rns_data[1]),
+            batch.parms_id, batch.is_ntt_form, batch.scale * plain.scale, batch.correction_factor,
+        )

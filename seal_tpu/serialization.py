@@ -62,16 +62,38 @@ def _decompress(data: bytes, mode: int) -> bytes:
     if mode == COMPR_NONE:
         return data
     if mode == COMPR_ZLIB:
-        d = zlib.decompressobj()
-        out = d.decompress(data, MAX_DECOMPRESSED_SIZE)
+        try:
+            d = zlib.decompressobj()
+            out = d.decompress(data, MAX_DECOMPRESSED_SIZE)
+        except zlib.error as e:
+            raise ValueError(f"corrupted zlib stream: {e}") from e
         if d.unconsumed_tail:
             raise ValueError("decompressed size exceeds safety bound")
         return out
     if mode == COMPR_ZSTD:
         if not _HAS_ZSTD:
             raise ValueError("zstd compression mode is not supported in this build")
-        return _zstd.ZstdDecompressor().decompress(data, max_output_size=MAX_DECOMPRESSED_SIZE)
+        try:
+            return _zstd.ZstdDecompressor().decompress(data, max_output_size=MAX_DECOMPRESSED_SIZE)
+        except _zstd.ZstdError as e:
+            raise ValueError(f"corrupted zstd stream: {e}") from e
     raise ValueError("unsupported compression mode")
+
+
+def _load_guard(fn):
+    """Loaders must fail with the library's ValueError taxonomy, never leak
+    struct.error/IndexError from malformed blobs (untrusted-load hardening,
+    CHANGES v4.4.0)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"malformed serialized data: {e}") from e
+
+    return wrapped
 
 
 def save_header_wrapped(members: bytes, compr_mode: int = None) -> bytes:
@@ -120,6 +142,7 @@ def modulus_save(value: int, compr_mode: int = COMPR_NONE) -> bytes:
     return save_header_wrapped(struct.pack("<Q", value), compr_mode)
 
 
+@_load_guard
 def modulus_load(data: bytes) -> Tuple[int, int]:
     members, consumed = load_header_wrapped(data)
     (value,) = struct.unpack_from("<Q", members, 0)
@@ -132,6 +155,7 @@ def dynarray_save(arr: np.ndarray, compr_mode: int = COMPR_NONE) -> bytes:
     return save_header_wrapped(members, compr_mode)
 
 
+@_load_guard
 def dynarray_load(data: bytes, max_size: Optional[int] = None) -> Tuple[np.ndarray, int]:
     members, consumed = load_header_wrapped(data)
     (size,) = struct.unpack_from("<Q", members, 0)
@@ -156,6 +180,7 @@ def params_save(parms, compr_mode: int = None) -> bytes:
     return save_header_wrapped(body.getvalue(), compr_mode)
 
 
+@_load_guard
 def params_load(data: bytes):
     from .modulus import Modulus
     from .params import EncryptionParameters, SchemeType
@@ -208,6 +233,7 @@ def plaintext_save(plain, compr_mode: int = None) -> bytes:
     return save_header_wrapped(body.getvalue(), compr_mode)
 
 
+@_load_guard
 def plaintext_load(data: bytes, context):
     from .data import Plaintext
     from .ops import u64 as U
@@ -259,6 +285,7 @@ def ciphertext_save(ct, compr_mode: int = None) -> bytes:
     return save_header_wrapped(body.getvalue(), compr_mode)
 
 
+@_load_guard
 def ciphertext_load(data: bytes, context):
     from .data import Ciphertext
     from .ops import ntt as NTT
@@ -340,6 +367,7 @@ def secret_key_save(sk, compr_mode: int = None) -> bytes:
     return plaintext_save(p, compr_mode)
 
 
+@_load_guard
 def secret_key_load(data: bytes, context):
     from .data import SecretKey
 
@@ -351,6 +379,7 @@ def public_key_save(pk, compr_mode: int = None) -> bytes:
     return ciphertext_save(pk.data, compr_mode)
 
 
+@_load_guard
 def public_key_load(data: bytes, context):
     from .data import PublicKey
 
@@ -373,6 +402,7 @@ def kswitch_keys_save(keys, context, compr_mode: int = None) -> bytes:
         c0 = U.to_np_u64(entry["c0"])  # (D, k_key, n)
         c1 = U.to_np_u64(entry["c1"])
         D = c0.shape[0]
+        seeds = entry.get("seeds")
         body.write(struct.pack("<Q", D))
         for j in range(D):
             ct = Ciphertext(
@@ -380,10 +410,15 @@ def kswitch_keys_save(keys, context, compr_mode: int = None) -> bytes:
                 parms_id=keys.parms_id,
                 is_ntt_form=True,
             )
+            # Seed-compressed half-size path (Serializable<RelinKeys/GaloisKeys>,
+            # keygenerator.h create_*_keys): c1 regenerates from the stored seed.
+            if seeds is not None and seeds[j] is not None:
+                ct.seed_info = seeds[j]
             body.write(ciphertext_save(ct, COMPR_NONE))
     return save_header_wrapped(body.getvalue(), compr_mode)
 
 
+@_load_guard
 def kswitch_keys_load(data: bytes, context, cls=None):
     from .data import KSwitchKeys
     from .ops import u64 as U

@@ -78,6 +78,51 @@ def test_seeded_ciphertext_roundtrip(setup):
     assert dec.decrypt(out).to_string() == p.to_string()
 
 
+def test_seeded_key_roundtrips(setup):
+    """Seed-compressed relin/Galois keys are ~half size and still work
+    (Serializable<RelinKeys/GaloisKeys>, keygenerator.h create_*_keys)."""
+    ctx, parms, keygen = setup
+    enc = Encryptor(ctx, secret_key=keygen.secret_key)
+    dec = Decryptor(ctx, keygen.secret_key)
+    ev = Evaluator(ctx)
+    p = Plaintext.from_hex("5x^3 + 1")
+
+    rk_seeded = keygen.create_relin_keys(save_seed=True)
+    rk_full = keygen.create_relin_keys(save_seed=False)
+    blob_seeded = S.kswitch_keys_save(rk_seeded, ctx, S.COMPR_NONE)
+    blob_full = S.kswitch_keys_save(rk_full, ctx, S.COMPR_NONE)
+    assert len(blob_seeded) < 0.7 * len(blob_full)
+    rk2, _ = S.kswitch_keys_load(blob_seeded, ctx, RelinKeys)
+    prod = ev.relinearize(ev.multiply(enc.encrypt_symmetric(p), enc.encrypt_symmetric(p)), rk2)
+    assert dec.decrypt(prod).to_string() == "19x^6 + Ax^3 + 1"
+
+    gk_seeded = keygen.create_galois_keys(save_seed=True)
+    gk2, _ = S.kswitch_keys_load(S.kswitch_keys_save(gk_seeded, ctx, S.COMPR_NONE), ctx, GaloisKeys)
+    from seal_tpu.encoders import BatchEncoder
+
+    be = BatchEncoder(ctx)
+    vals = list(range(64))
+    ct = enc.encrypt_symmetric(be.encode(vals))
+    got = be.decode(dec.decrypt(ev.rotate_rows(ct, 1, gk2)))
+    row = vals[:32]
+    want = row[1:] + row[:1]
+    assert got == want + [v + 32 for v in want]
+
+
+def test_zstd_default_when_available():
+    """The default compression mode must match the reference's (zstd) when the
+    backend is importable (serialization.h:49)."""
+    try:
+        import zstandard  # noqa: F401
+    except Exception:
+        pytest.skip("zstandard not available")
+    assert S.COMPR_MODE_DEFAULT == S.COMPR_ZSTD
+    data = b"seal tpu zstd roundtrip" * 20
+    blob = S.save_header_wrapped(data, S.COMPR_ZSTD)
+    out, consumed = S.load_header_wrapped(blob)
+    assert out == data and consumed == len(blob)
+
+
 def test_key_roundtrips(setup):
     ctx, parms, keygen = setup
     # secret key
