@@ -26,6 +26,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # for sol.py
 
 
 def _wall_us(fn, iters=5):
@@ -122,6 +123,8 @@ def bench_scheme(scheme_name, n, chain_lo, chain_hi):
         return ct.data[0][0, 0, 0]
 
     res = {}
+    res["_k"] = len(ctx.first_context_data().coeff_modulus_values)
+    res["_k_key"] = len(ctx.key_context_data().coeff_modulus_values)
 
     # --- size-2 carry ops: carry is ct1.data, alternate is ct2.data -----
     def sized2(op):
@@ -201,6 +204,38 @@ def bench_scheme(scheme_name, n, chain_lo, chain_hi):
     return res
 
 
+def bench_keygen(n):
+    """KeyGen rows (bench/keygen.cpp): secret/public/relin/galois, wall-clock.
+
+    Keygen is host-orchestrated (PRNG expansion + device NTTs); wall-clock is
+    the honest metric — a user calls it once, not in a pipeline.  Numbers
+    here include the dev tunnel's transfer cost on this environment.
+    """
+    import jax
+
+    from seal_tpu.context import SealContext
+    from seal_tpu.keygen import KeyGenerator
+    from seal_tpu.modulus import CoeffModulus, SecurityLevel
+    from seal_tpu.params import EncryptionParameters, SchemeType
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        parms = EncryptionParameters(SchemeType.CKKS)
+        parms.set_poly_modulus_degree(n)
+        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+        ctx = SealContext(parms, True, SecurityLevel.TC128)
+        res = {}
+        res["secret"] = _wall_us(lambda: KeyGenerator(ctx), 3)
+        keygen = KeyGenerator(ctx)
+        res["public"] = _wall_us(lambda: keygen.create_public_key(), 3)
+        if ctx.using_keyswitching:
+            res["relin"] = _wall_us(lambda: keygen.create_relin_keys(), 3)
+            res["galois_one_step"] = _wall_us(
+                lambda: keygen.create_galois_keys_from_steps([1]), 3
+            )
+    return res
+
+
 def bench_ntt(n, chain_lo, chain_hi):
     """NTT microbench: forward/inverse over the default chain's k limbs."""
     import jax
@@ -245,6 +280,7 @@ def main():
     ap.add_argument("--lo", type=int, default=5)
     ap.add_argument("--hi", type=int, default=45)
     ap.add_argument("--ntt", action="store_true", help="also run the NTT microbench")
+    ap.add_argument("--keygen", action="store_true", help="also run keygen rows")
     ap.add_argument("--out", default="BENCH_DETAIL.json")
     args = ap.parse_args()
 
@@ -269,20 +305,50 @@ def main():
             res = bench_scheme(scheme, size, args.lo, args.hi)
             all_results[f"{scheme}_{size}"] = res
             base = baseline.get(scheme, {}).get(str(size), {})
+            from sol import op_sol_us
+
+            k = res.get("_k", 1)
+            k_key = res.get("_k_key", k + 1)
             for op, us in sorted(res.items()):
+                if op.startswith("_"):
+                    continue
                 b = base.get(op) or base.get(op.replace("_rows", "").replace("_one_step", " one step"))
                 speed = f"  {b / us:8.1f}x vs CPU" if b and us else ""
-                print(f"  {op:24s} {us:10.1f} us{speed}", flush=True)
+                sol = op_sol_us(op, scheme, size, k, k_key)
+                solcol = f"  sol {sol:8.1f} us ({100 * sol / us:5.1f}% SoL)" if sol and us else ""
+                print(f"  {op:24s} {us:10.1f} us{speed}{solcol}", flush=True)
             with open(args.out, "w") as f:
                 json.dump(all_results, f, indent=2)
 
     if args.ntt:
+        from sol import ntt_cost_us
+
         for size in (int(s) for s in args.sizes.split(",")):
             print(f"=== ntt n={size} ===", flush=True)
             res = bench_ntt(size, args.lo, max(args.hi, 13))
             all_results[f"ntt_{size}"] = res
+            sol = ntt_cost_us(size, res["k"])
+            res["sol_us"] = sol["sol_us"]
+            base = baseline.get("ntt", {}).get(str(size), {})
             for op, us in sorted(res.items()):
-                print(f"  {op:24s} {us:10.1f}", flush=True)
+                if op in ("k", "sol_us"):
+                    continue
+                b = base.get(op.replace("ntt_", ""))
+                speed = f"  {b / us:8.1f}x vs CPU" if b and us else ""
+                print(f"  {op:24s} {us:10.1f}{speed}  sol {sol['sol_us']:6.1f} us ({100 * sol['sol_us'] / us:5.1f}% SoL)", flush=True)
+            with open(args.out, "w") as f:
+                json.dump(all_results, f, indent=2)
+
+    if args.keygen:
+        for size in (int(s) for s in args.sizes.split(",")):
+            print(f"=== keygen n={size} ===", flush=True)
+            res = bench_keygen(size)
+            all_results[f"keygen_{size}"] = res
+            base = baseline.get("keygen", {}).get(str(size), {})
+            for op, us in sorted(res.items()):
+                b = base.get(op)
+                speed = f"  {b / us:8.1f}x vs CPU" if b and us else ""
+                print(f"  {op:24s} {us:10.1f} us{speed}", flush=True)
             with open(args.out, "w") as f:
                 json.dump(all_results, f, indent=2)
 

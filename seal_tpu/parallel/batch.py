@@ -17,7 +17,12 @@ import numpy as np
 
 from ..context import SealContext
 from ..data import Ciphertext, GaloisKeys, Plaintext, RelinKeys
-from ..evaluator import Evaluator, _stack_polys
+from ..evaluator import (
+    Evaluator,
+    _balance_correction_factors,
+    _is_scale_within_bounds,
+    _stack_polys,
+)
 from ..ops import ntt as NTT
 from ..ops import poly as P_ops
 from ..ops import rns as R
@@ -87,6 +92,22 @@ class BatchEvaluator:
             batch.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor,
         )
 
+    def _check_key(self, keys) -> None:
+        """Key validity rails mirroring Evaluator._switch_key / relinearize
+        (evaluator.cpp:2572-2611): key level, keyswitching support, and the
+        decomposition-limb count a truncated unsafe-loaded key might violate
+        (jitted gathers clamp OOB indices, so this must be caught host-side)."""
+        if keys.parms_id != self.context.key_parms_id:
+            raise ValueError("keys are not valid for encryption parameters")
+        if not self.context.using_keyswitching:
+            raise ValueError("keyswitching is not supported by the context")
+
+    @staticmethod
+    def _check_key_limbs(key: dict, cd) -> None:
+        D = len(cd.parms.coeff_modulus)
+        if key is None or key["c0"][0].shape[0] < D:
+            raise ValueError("key-switching keys are invalid for encryption parameters")
+
     def multiply(self, b1: CiphertextBatch, b2: CiphertextBatch) -> CiphertextBatch:
         if b1.parms_id != b2.parms_id:
             raise ValueError("parameter mismatch")
@@ -110,6 +131,8 @@ class BatchEvaluator:
         cf = b1.correction_factor
         if scheme == SchemeType.CKKS:
             out_scale = b1.scale * b2.scale
+            if not _is_scale_within_bounds(out_scale, cd):
+                raise ValueError("scale out of bounds")
         elif scheme == SchemeType.BGV:
             cf = b1.correction_factor * b2.correction_factor % cd.parms.plain_modulus.value
         return CiphertextBatch(fn(b1.data, b2.data), b1.parms_id, b1.is_ntt_form, out_scale, cf)
@@ -190,10 +213,12 @@ class BatchEvaluator:
 
     def relinearize(self, batch: CiphertextBatch, relin_keys: RelinKeys) -> CiphertextBatch:
         cd = self.context.get_context_data(batch.parms_id)
+        self._check_key(relin_keys)
         size = batch.size
         if size != 3:
             raise ValueError("batched relinearize currently supports size-3 inputs")
         key = relin_keys.key(2)
+        self._check_key_limbs(key, cd)
         if self.hem is not None:
             key = shard_kswitch_key(self.hem, key)
 
@@ -240,20 +265,53 @@ class BatchEvaluator:
     def _add_sub(self, b1: CiphertextBatch, b2: CiphertextBatch, is_add: bool) -> CiphertextBatch:
         if b1.parms_id != b2.parms_id:
             raise ValueError("parameter mismatch")
+        if b1.is_ntt_form != b2.is_ntt_form:
+            raise ValueError("NTT form mismatch")
+        if not np.isclose(b1.scale, b2.scale, rtol=1e-12):
+            raise ValueError("scale mismatch")
         cd = self.context.get_context_data(b1.parms_id)
+        from ..ops import u64 as U
+        from ..ops.rns import _cshoup
+
+        # BGV correction-factor balancing, as in Evaluator._add_sub
+        # (evaluator.cpp:56-118,197-216): scale each operand by e_i before
+        # the coefficient-wise combine so both carry the same factor f.
+        f = b1.correction_factor
+        balance = (
+            cd.parms.scheme == SchemeType.BGV
+            and b1.correction_factor != b2.correction_factor
+        )
+        if balance:
+            f, e1, e2 = _balance_correction_factors(
+                b1.correction_factor, b2.correction_factor, cd.parms.plain_modulus.value
+            )
+        else:
+            e1 = e2 = 1
 
         def single(d1, d2):
-            from ..ops import u64 as U
-
             t = cd.limb_tables()
             q = (t.q_lo[None], t.q_hi[None])
-            return U.add_mod(d1, d2, q) if is_add else U.sub_mod(d1, d2, q)
+            dd1, dd2 = d1, d2
+            if balance:
+                qv = cd.coeff_modulus_values
+                op1 = _cshoup([e1 % qq for qq in qv], qv)
+                op2 = _cshoup([e2 % qq for qq in qv], qv)
+                dd1 = U.mul_mod_shoup(d1, op1[0], op1[1], q)
+                dd2 = U.mul_mod_shoup(d2, op2[0], op2[1], q)
+            n1, n2 = dd1[0].shape[0], dd2[0].shape[0]
+            if n1 < n2:
+                pad = n2 - n1
+                dd1 = (jnp.pad(dd1[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(dd1[1], ((0, pad), (0, 0), (0, 0))))
+            elif n2 < n1:
+                pad = n1 - n2
+                dd2 = (jnp.pad(dd2[0], ((0, pad), (0, 0), (0, 0))), jnp.pad(dd2[1], ((0, pad), (0, 0), (0, 0))))
+            return U.add_mod(dd1, dd2, q) if is_add else U.sub_mod(dd1, dd2, q)
 
         fn = self._jit(
-            ("batch_add_sub", b1.parms_id, b1.size, is_add),
+            ("batch_add_sub", b1.parms_id, b1.size, b2.size, is_add, e1, e2),
             lambda d1, d2: jax.vmap(single)(d1, d2),
         )
-        return CiphertextBatch(fn(b1.data, b2.data), b1.parms_id, b1.is_ntt_form, b1.scale, b1.correction_factor)
+        return CiphertextBatch(fn(b1.data, b2.data), b1.parms_id, b1.is_ntt_form, b1.scale, f)
 
     def negate(self, batch: CiphertextBatch) -> CiphertextBatch:
         cd = self.context.get_context_data(batch.parms_id)
@@ -280,11 +338,20 @@ class BatchEvaluator:
         scheme = cd.parms.scheme
         size = batch.size
         if scheme == SchemeType.CKKS:
+            # drop variant: scale must still fit the destination level
+            # (mod_switch_drop_to_next, evaluator.cpp:1307)
+            if not _is_scale_within_bounds(batch.scale, next_cd):
+                raise ValueError("scale out of bounds")
             k_next = len(next_cd.parms.coeff_modulus)
             return CiphertextBatch(
                 (batch.data[0][:, :, :k_next, :], batch.data[1][:, :, :k_next, :]),
                 next_cd.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor,
             )
+        # scale variant form rails (mod_switch_scale_to_next, evaluator.cpp:1211-1218)
+        if scheme == SchemeType.BFV and batch.is_ntt_form:
+            raise ValueError("BFV encrypted cannot be in NTT form")
+        if scheme == SchemeType.BGV and not batch.is_ntt_form:
+            raise ValueError("BGV encrypted must be in NTT form")
 
         def single(d):
             tool = cd.rns_tool
@@ -312,8 +379,10 @@ class BatchEvaluator:
             raise ValueError("batched apply_galois requires size-2 ciphertexts")
         if not galois_keys.has_key(galois_elt):
             raise ValueError("Galois key not present")
+        self._check_key(galois_keys)
         tool = cd.galois_tool
         key = galois_keys.key(galois_elt)
+        self._check_key_limbs(key, cd)
         if self.hem is not None:
             key = shard_kswitch_key(self.hem, key)
 
@@ -404,7 +473,10 @@ class BatchEvaluator:
             ("batch_mul_plain", batch.parms_id, batch.size),
             lambda d, pl, ph: jax.vmap(single, in_axes=(0, None, None))(d, pl, ph),
         )
+        out_scale = batch.scale * plain.scale
+        if cd.parms.scheme == SchemeType.CKKS and not _is_scale_within_bounds(out_scale, cd):
+            raise ValueError("scale out of bounds")
         return CiphertextBatch(
             fn(batch.data, plain.rns_data[0], plain.rns_data[1]),
-            batch.parms_id, batch.is_ntt_form, batch.scale * plain.scale, batch.correction_factor,
+            batch.parms_id, batch.is_ntt_form, out_scale, batch.correction_factor,
         )

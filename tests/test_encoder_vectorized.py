@@ -42,7 +42,15 @@ def _ref_centered_double(base, scaled, uh, inv_scale):
 
 @pytest.mark.parametrize("bits", [[30], [60, 40, 40, 60], [50] * 16, [61] * 30])
 def test_compose_scaled_centered_double_bit_exact(bits):
-    mods = CoeffModulus.create(1 << 12, bits)
+    if max(bits) > 60:
+        # 61-bit primes are *internal* only (aux bases); the user-facing
+        # CoeffModulus.create caps at 60 bits (util/defines.h:40), so build
+        # them directly via the prime sampler as RNSTool does (rns.cpp:625-636).
+        from seal_tpu import numth
+        from seal_tpu.modulus import Modulus
+        mods = [Modulus(p) for p in numth.get_primes(2 << 12, 61, len(bits))]
+    else:
+        mods = CoeffModulus.create(1 << 12, bits)
     base = HostRNSBase(mods)
     qv = np.array([m.value for m in mods], dtype=np.uint64)
     n = 64

@@ -13,10 +13,13 @@ BUILD=${1:-/tmp/seal-build}
 REF=${2:-/root/reference}
 HERE=$(dirname "$0")
 mkdir -p /tmp/wire_compat
+# -lz -lzstd are no-ops when the lib was built without compression, but
+# required when it was (the compressed-blob compat checks need them ON)
+LIBS="-lz -lzstd"
 g++ -std=c++17 -O2 \
   -I"$REF/native/src" -I"$BUILD/native/src" \
-  "$HERE/gen_blobs.cpp" "$BUILD/lib/libseal-4.4.a" -o /tmp/wire_compat/gen_blobs
+  "$HERE/gen_blobs.cpp" "$BUILD/lib/libseal-4.4.a" $LIBS -o /tmp/wire_compat/gen_blobs
 g++ -std=c++17 -O2 \
   -I"$REF/native/src" -I"$BUILD/native/src" \
-  "$HERE/verify_blobs.cpp" "$BUILD/lib/libseal-4.4.a" -o /tmp/wire_compat/verify_blobs
+  "$HERE/verify_blobs.cpp" "$BUILD/lib/libseal-4.4.a" $LIBS -o /tmp/wire_compat/verify_blobs
 echo built: /tmp/wire_compat/gen_blobs /tmp/wire_compat/verify_blobs
