@@ -22,7 +22,7 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from . import numth
+from . import debug, numth
 from .context import ContextData, SealContext
 from .data import Ciphertext, GaloisKeys, KSwitchKeys, Plaintext, RelinKeys
 from .modulus import CIPHERTEXT_SIZE_MAX
@@ -531,6 +531,20 @@ class Evaluator:
         # reduce every 64 summands as a guard.
         def contract(t_op, keyc):
             n = t_op[0].shape[-1]
+            if debug.ENABLED:
+                # u128 accumulator margin (defines.h:66 rationale): 64 lazy
+                # summands of (4q)*(q) must stay below 2^128 for the largest
+                # modulus in play, or the in-loop Barrett guard is too late.
+                max_q = max(sel_vals)
+                assert min(64, D) * (4 * max_q) * max_q < (1 << 128), (
+                    "switch_key accumulator would overflow u128; "
+                    f"D={D} max_q bits={max_q.bit_length()}"
+                )
+                debug.check_below(
+                    t_op, U.add64((sel_tables.two_q_lo, sel_tables.two_q_hi),
+                                  (sel_tables.two_q_lo, sel_tables.two_q_hi)),
+                    "switch_key t_op < 4q before 128-bit accumulation",
+                )
             acc = U.zero128((2, Rn, n))
             for j in range(D):
                 x = (t_op[0][j], t_op[1][j])          # (Rn, n)

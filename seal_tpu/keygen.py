@@ -129,7 +129,10 @@ class KeyGenerator:
         if galois_elts is None:
             galois_elts = galois_tool.get_elts_all()
         keys = GaloisKeys()
-        keys.keys = [None] * (2 * n)
+        # slot count n, not 2n: index = (elt-1)/2 with odd elt < 2n never
+        # exceeds n-1, and the reference sizes the outer vector to N
+        # (keygenerator.cpp generate_galois_keys) — wire format depends on it
+        keys.keys = [None] * n
         sk = self._secret_key.data
         for elt in galois_elts:
             if not (elt & 1) or elt >= 2 * n:

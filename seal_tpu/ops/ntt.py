@@ -21,6 +21,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from .. import debug
 from ..ntt_tables import LimbTables
 from . import u64 as U
 
@@ -94,6 +95,9 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     *lead, k, n = lo.shape
     logn = int(n).bit_length() - 1
     assert (1 << logn) == n
+    if debug.ENABLED:
+        tq_b = (t.two_q_lo, t.two_q_hi)  # (k, 1), broadcasts over coeffs
+        debug.check_below(x, U.add64(tq_b, tq_b), "ntt_forward input < 4q (ntt.h:200-209)")
     if _dispatch_mxu(t, n):
         from . import mxu_ntt
 
@@ -122,7 +126,12 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
         q = (t.q_lo, t.q_hi)
         y = _guard((lo, hi), two_q)
         y = U.select64(U.ge64(y, q), U.sub64(y, q), y)
+        if debug.ENABLED:
+            debug.check_below(y, q, "ntt_forward output < q")
         return y
+    if debug.ENABLED:
+        tq_b = (t.two_q_lo, t.two_q_hi)
+        debug.check_below((lo, hi), U.add64(tq_b, tq_b), "ntt_forward_lazy output < 4q")
     return lo, hi
 
 
@@ -135,6 +144,8 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     *lead, k, n = lo.shape
     logn = int(n).bit_length() - 1
     assert (1 << logn) == n
+    if debug.ENABLED:
+        debug.check_below(x, (t.two_q_lo, t.two_q_hi), "ntt_inverse input < 2q (ntt.h:298-307)")
     if _dispatch_mxu(t, n):
         from . import mxu_ntt
 
@@ -175,5 +186,10 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
         q = (t.q_lo, t.q_hi)
         y = (lo, hi)
         y = U.select64(U.ge64(y, q), U.sub64(y, q), y)
+        if debug.ENABLED:
+            debug.check_below(y, q, "ntt_inverse output < q")
         return y
+    if debug.ENABLED:
+        debug.check_below((lo, hi), (t.two_q_lo, t.two_q_hi),
+                          "ntt_inverse_lazy output < 2q")
     return lo, hi

@@ -37,6 +37,24 @@ template <typename T> static void save_obj(const T &obj, const string &path)
     dump(path, ss);
 }
 
+template <typename T> static void save_compressed(const T &obj, const string &base)
+{
+#ifdef SEAL_USE_ZLIB
+    {
+        stringstream ss;
+        obj.save(ss, compr_mode_type::zlib);
+        dump(base + "_zlib.bin", ss);
+    }
+#endif
+#ifdef SEAL_USE_ZSTD
+    {
+        stringstream ss;
+        obj.save(ss, compr_mode_type::zstd);
+        dump(base + "_zstd.bin", ss);
+    }
+#endif
+}
+
 static prng_seed_type fixed_seed()
 {
     prng_seed_type seed{};
@@ -91,6 +109,11 @@ int main(int argc, char **argv)
         Ciphertext ct;
         encryptor.encrypt(plain, ct);
         save_obj(ct, out + "bfv_ct.bin");
+        // compressed variants of the SAME ciphertext (serialization.h:23;
+        // zlib/zstd streaming in ztools.cpp:101-300) — the round-3 check that
+        // compressed reference streams load, not just compr_mode none
+        save_compressed(ct, out + "bfv_ct");
+        save_compressed(sk, out + "bfv_sk");
 
         // seeded symmetric ciphertext (half size, PRNG info stored)
         save_obj(encryptor.encrypt_symmetric(plain), out + "bfv_ct_seeded.bin");
@@ -167,6 +190,53 @@ int main(int argc, char **argv)
         encryptor.encrypt(plain, ct);
         save_obj(ct, out + "ckks_ct.bin");
         save_obj(encryptor.encrypt_symmetric(plain), out + "ckks_ct_seeded.bin");
+    }
+
+    // ---------------- BFV at N=4096 (production-shaped, default chain) ----
+    // Round-2 review: all wire blobs were toy N=64; this set proves byte
+    // compatibility at a real parameter point (globals.cpp:43 chain).
+    {
+        EncryptionParameters parms(scheme_type::bfv);
+        parms.set_poly_modulus_degree(4096);
+        parms.set_coeff_modulus(CoeffModulus::BFVDefault(4096));
+        parms.set_plain_modulus(PlainModulus::Batching(4096, 20));
+        parms.set_random_generator(make_shared<Blake2xbPRNGFactory>(fixed_seed()));
+        save_obj(parms, out + "bfv4096_parms.bin");
+
+        SEALContext context(parms, true, sec_level_type::tc128);
+        KeyGenerator keygen(context);
+        const SecretKey &sk = keygen.secret_key();
+        PublicKey pk;
+        keygen.create_public_key(pk);
+        GaloisKeys glk;
+        keygen.create_galois_keys(vector<int>{ 1 }, glk);
+        save_obj(sk, out + "bfv4096_sk.bin");
+        save_obj(pk, out + "bfv4096_pk.bin");
+        save_obj(glk, out + "bfv4096_glk.bin");
+
+        BatchEncoder encoder(context);
+        vector<uint64_t> vals(encoder.slot_count());
+        for (size_t i = 0; i < vals.size(); i++)
+            vals[i] = (3 * i + 7) % parms.plain_modulus().value();
+        Plaintext plain;
+        encoder.encode(vals, plain);
+        Encryptor encryptor(context, pk);
+        encryptor.set_secret_key(sk);
+        Ciphertext ct;
+        encryptor.encrypt(plain, ct);
+        save_obj(ct, out + "bfv4096_ct.bin");
+        save_compressed(ct, out + "bfv4096_ct");
+        Evaluator evaluator(context);
+        Ciphertext rot;
+        evaluator.rotate_rows(ct, 1, glk, rot);
+        Decryptor decryptor(context, sk);
+        Plaintext dec;
+        decryptor.decrypt(rot, dec);
+        vector<uint64_t> got;
+        encoder.decode(dec, got);
+        // record first 8 rotated slots for the functional assert
+        for (size_t i = 0; i < 8; i++)
+            manifest << "bfv4096_rot_slot " << i << " " << got[i] << "\n";
     }
 
     manifest.close();
