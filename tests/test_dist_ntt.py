@@ -1,0 +1,57 @@
+"""Distributed four-step NTT: bit-identity with the single-device kernel.
+
+SURVEY.md §2.12 distributed-NTT row: one large transform spans the mesh
+axis, with a single all-to-all "corner turn" between the two matmul stages
+(parallel/dist_ntt.py).  Asserted at N=65536 (beyond single-test coverage
+anywhere else; reference treats N<=131072 as first-class, defines.h:52)
+on the 8-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+import jax
+from jax.sharding import Mesh
+
+from seal_tpu.modulus import Modulus
+from seal_tpu import numth
+from seal_tpu.ntt_tables import build_mxu_tables
+from seal_tpu.ops import mxu_ntt as M
+from seal_tpu.ops import u64 as U
+from seal_tpu.parallel.dist_ntt import dist_ntt_forward, dist_ntt_inverse
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    n = 65536
+    mods = [Modulus(p) for p in numth.get_primes(2 * n, 50, 2)]
+    t = build_mxu_tables(int(n).bit_length() - 1, mods)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("limb",))
+    rng = np.random.default_rng(65536)
+    qv = np.array([m.value for m in mods], dtype=np.uint64)
+    x = rng.integers(0, qv[:, None], (len(mods), n), dtype=np.uint64)
+    return n, mods, t, mesh, U.from_np_u64(x), x
+
+
+def test_dist_forward_bit_identical(setup):
+    n, mods, t, mesh, xd, x = setup
+    want = U.to_np_u64(M.mxu_ntt_forward(xd, t))
+    got = U.to_np_u64(dist_ntt_forward(xd, t, mesh))
+    assert np.array_equal(got, want)
+
+
+def test_dist_inverse_bit_identical_and_roundtrip(setup):
+    n, mods, t, mesh, xd, x = setup
+    fwd = M.mxu_ntt_forward(xd, t)
+    want = U.to_np_u64(M.mxu_ntt_inverse(fwd, t))
+    got = U.to_np_u64(dist_ntt_inverse(fwd, t, mesh))
+    assert np.array_equal(got, want)
+    assert np.array_equal(want, x)  # roundtrip identity
+
+
+def test_dist_roundtrip_distributed_only(setup):
+    """Forward then inverse entirely through the distributed path."""
+    n, mods, t, mesh, xd, x = setup
+    back = U.to_np_u64(dist_ntt_inverse(dist_ntt_forward(xd, t, mesh), t, mesh))
+    assert np.array_equal(back, x)
