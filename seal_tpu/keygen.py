@@ -76,35 +76,36 @@ class KeyGenerator:
         decomp_count = len(self.context.first_context_data().parms.coeff_modulus)
         t = key_cd.limb_tables()
 
-        c0_list, c1_list = [], []
+        cts = []
         seeds = []
         for i in range(decomp_count):
             ct = encrypt_zero_symmetric(self._secret_key, self.context, key_cd.parms_id, True, save_seed)
-            c0_list.append(ct.poly(0))
-            c1_list.append(ct.poly(1))
+            cts.append(ct.data)            # (lo, hi) of shape (2, k_key, n)
             seeds.append(ct.seed_info)
 
-        def finish(c0_stack, tgt):
-            """c0[i][limb i] += (q_last mod q_i) * target[limb i], all i at once."""
-            from .ops.rns import _cshoup
-            import numpy as np
+        def assemble(datas, tgt):
+            """Stack D encrypt-zeros and add (q_last mod q_i)*target into
+            c0's limb i, all inside ONE traced computation — eager slicing/
+            stacking per limb costs ~40 ms/op on remote-plugin backends."""
+            from .ops.rns import _c, _cshoup
 
+            c0_stack = (jnp.stack([d[0][0] for d in datas]),
+                        jnp.stack([d[1][0] for d in datas]))
+            c1_stack = (jnp.stack([d[0][1] for d in datas]),
+                        jnp.stack([d[1][1] for d in datas]))
             k_key = len(key_moduli)
             op, qt = _cshoup([q_last % qi for qi in key_moduli], key_moduli)
-            from .ops.rns import _c
-
             q = _c(key_moduli)
             add_term = U.mul_mod_shoup(tgt, op, qt, q)          # (k_key, n)
             summed = U.add_mod(c0_stack, (add_term[0][None], add_term[1][None]), (q[0][None], q[1][None]))
             eye = jnp.asarray(np.eye(decomp_count, k_key, dtype=bool))[:, :, None]
-            return U.select64(eye, summed, c0_stack)
+            return U.select64(eye, summed, c0_stack), c1_stack
 
-        fn = jit_cached(self.context, ("ksk_finish", key_cd.parms_id, decomp_count), finish)
-        c0_stack = (jnp.stack([c[0] for c in c0_list]), jnp.stack([c[1] for c in c0_list]))
-        c0_stack = fn(c0_stack, target)
+        fn = jit_cached(self.context, ("ksk_assemble", key_cd.parms_id, decomp_count), assemble)
+        c0_stack, c1_stack = fn(tuple(cts), target)
         return {
             "c0": c0_stack,
-            "c1": (jnp.stack([c[0] for c in c1_list]), jnp.stack([c[1] for c in c1_list])),
+            "c1": c1_stack,
             "seeds": seeds if save_seed else None,
         }
 
