@@ -74,6 +74,34 @@ def _balance_correction_factors(factor1: int, factor2: int, t: int):
     return e1 * factor1 % t, e1, e2
 
 
+import os as _os
+
+_STAGE_BARRIERS = _os.environ.get("SEAL_TPU_STAGE_BARRIERS", "1") not in ("", "0")
+
+
+def _stage_barrier(x):
+    """Keep stage boundaries when a staged pipeline is inlined into one jit.
+
+    The BEHZ multiply and the key-switch are deliberately staged into
+    separate dispatches (XLA mis-schedules the fully fused graph).  But when
+    an op is traced inside a larger jit (a fused deep circuit, vmap, or the
+    chained benchmark harness), the cached stage jits inline into one graph
+    and the pathology returns.  ``lax.optimization_barrier`` at the stage
+    seams restores the schedule without forcing dispatch boundaries.
+
+    Applied only to tracers: on concrete arrays (the normal eager staged
+    path) it would cost a full dispatch on remote backends for nothing.
+    """
+    if not _STAGE_BARRIERS:
+        return x
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves and isinstance(leaves[0], jax.core.Tracer):
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def _is_scale_within_bounds(scale: float, cd: ContextData) -> bool:
     """Mirrors the reference's is_scale_within_bounds (evaluator.cpp:29-48):
     scale must be a positive *normal* double below the modulus bit bound."""
@@ -312,8 +340,9 @@ class Evaluator:
 
         Staged into several jitted kernels rather than one monolithic graph:
         XLA mis-schedules the base-conversion contraction fused together with
-        the NTT stage chain (观察: composed graph runs ~1000x slower than the
-        sum of its stages), so stage boundaries are real dispatch boundaries.
+        the NTT stage chain (observed: the composed graph runs far slower
+        than the sum of its stages), so stage boundaries are real dispatch
+        boundaries; ``_stage_barrier`` preserves them when inlined.
         """
         if ct1.is_ntt_form or ct2.is_ntt_form:
             raise ValueError("encrypted1 or encrypted2 cannot be in NTT form")
@@ -366,27 +395,29 @@ class Evaluator:
         floor_fn = self._jit(("behz_floor", pid), lambda d: R.fast_floor(d, tool))
         sk_fn = self._jit(("behz_sk", pid), lambda d: R.fastbconv_sk(d, tool))
 
-        # Steps (1)-(3): extend both inputs
-        e1_q = ntt_q(ct1.data)
-        e1_b = ntt_bsk(ext_bsk(ct1.data))
+        # Steps (1)-(3): extend both inputs.  _stage_barrier keeps these
+        # seams when the whole multiply is inlined into an enclosing jit.
+        b = _stage_barrier
+        e1_q = b(ntt_q(ct1.data))
+        e1_b = b(ntt_bsk(b(ext_bsk(ct1.data))))
         if square:
             e2_q, e2_b = e1_q, e1_b
         else:
-            e2_q = ntt_q(ct2.data)
-            e2_b = ntt_bsk(ext_bsk(ct2.data))
+            e2_q = b(ntt_q(ct2.data))
+            e2_b = b(ntt_bsk(b(ext_bsk(ct2.data))))
 
         # Step (4): dyadic convolutions
-        dest_q = conv_q(e1_q, e2_q)
-        dest_b = conv_b(e1_b, e2_b)
+        dest_q = b(conv_q(e1_q, e2_q))
+        dest_b = b(conv_b(e1_b, e2_b))
 
         # Steps (5)-(8), vectorized over output polys
-        dq = intt_q(dest_q)
-        db = intt_b(dest_b)
+        dq = b(intt_q(dest_q))
+        db = b(intt_b(dest_b))
         joined = (
             jnp.concatenate([dq[0], db[0]], axis=1),
             jnp.concatenate([dq[1], db[1]], axis=1),
         )
-        out_data = sk_fn(floor_fn(joined))
+        out_data = sk_fn(b(floor_fn(joined)))
         out = ct1.copy()
         out.data = out_data
         return out
@@ -510,7 +541,7 @@ class Evaluator:
         )[:, :, None]
         t_op = U.select64(jnp.asarray(need_reduce), reduced, tt)
         # Batched NTT: leading axis D, limb axis Rn
-        t_op = NTT.ntt_forward(t_op, sel_tables, lazy=True)  # (D, Rn, n) < 4q
+        t_op = _stage_barrier(NTT.ntt_forward(t_op, sel_tables, lazy=True))  # (D, Rn, n) < 4q
 
         # Select key columns: (D, k_key, n) -> (D, Rn, n)
         def sel(keyc):
@@ -555,7 +586,7 @@ class Evaluator:
                     acc = (red[0], red[1], jnp.zeros_like(red[0]), jnp.zeros_like(red[0]))
             return U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
 
-        prod = contract(t_op, kc)  # (2, Rn, n) NTT form mod sel moduli
+        prod = _stage_barrier(contract(t_op, kc))  # (2, Rn, n) NTT form mod sel moduli
 
         # Switch the special prime away and add into ct (per component).
         qk = key_moduli[-1]

@@ -54,19 +54,29 @@ def _mxu_tables_for(t: LimbTables):
     return mt
 
 
-def _dispatch_mxu(t: LimbTables, n: int) -> bool:
+def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
+    """Pick the NTT backend: None (XLA butterflies), 'mxu' (einsum
+    four-step) or 'pallas' (fused four-step kernel, ops/pallas_mxu_ntt.py).
+
+    SEAL_TPU_NTT=xla|mxu|pallas forces; 'auto' (default) uses the einsum
+    kernel on TPU for n in [2048, 16384) and the Pallas kernel for
+    n >= 16384 (measured v5e: pallas is 1.6x at 16384, 3.1x at 32768 —
+    the fused recombine keeps the 2P-1 int32 digit planes out of HBM).
+    """
     if not t.moduli_values or (1 << t.log_n) != n:
-        return False
+        return None
     mode = os.environ.get("SEAL_TPU_NTT", "auto")
-    if mode == "mxu":
-        return True
+    if mode in ("mxu", "pallas"):
+        return mode
     if mode == "xla":
-        return False
+        return None
     if n < 2048:
-        return False
+        return None
     import jax
 
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() in ("cpu",):
+        return None
+    return "pallas" if n >= 16384 else "mxu"
 
 
 def _bcast_k1(lo, hi):
@@ -98,7 +108,14 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     if debug.ENABLED:
         tq_b = (t.two_q_lo, t.two_q_hi)  # (k, 1), broadcasts over coeffs
         debug.check_below(x, U.add64(tq_b, tq_b), "ntt_forward input < 4q (ntt.h:200-209)")
-    if _dispatch_mxu(t, n):
+    backend = _dispatch_mxu(t, n)
+    if backend == "pallas":
+        from . import pallas_mxu_ntt
+
+        import jax
+        interp = jax.default_backend() in ("cpu",)
+        return pallas_mxu_ntt.pallas_ntt_forward(x, _mxu_tables_for(t), interpret=interp)
+    if backend == "mxu":
         from . import mxu_ntt
 
         return mxu_ntt.mxu_ntt_forward(x, _mxu_tables_for(t))
@@ -146,7 +163,14 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     assert (1 << logn) == n
     if debug.ENABLED:
         debug.check_below(x, (t.two_q_lo, t.two_q_hi), "ntt_inverse input < 2q (ntt.h:298-307)")
-    if _dispatch_mxu(t, n):
+    backend = _dispatch_mxu(t, n)
+    if backend == "pallas":
+        from . import pallas_mxu_ntt
+
+        import jax
+        interp = jax.default_backend() in ("cpu",)
+        return pallas_mxu_ntt.pallas_ntt_inverse(x, _mxu_tables_for(t), interpret=interp)
+    if backend == "mxu":
         from . import mxu_ntt
 
         return mxu_ntt.mxu_ntt_inverse(x, _mxu_tables_for(t))

@@ -265,11 +265,14 @@ def test_ckks_full_chain(ckks):
     mp = ev.rescale_to_next(ev.multiply_plain(ca, pb))
     assert np.allclose(got(mp), a * b, atol=1e-2)
 
-    # rotations + conjugate
-    assert np.allclose(got(ev.rotate_vector(ca, 1, env["gk"])), np.roll(a, -1), atol=tol)
+    # rotations + conjugate: key-switch noise scales with q_special/scale,
+    # ~2e-4 at scale 2^30 on the n=4096 chain — bound at 1e-3 (the
+    # reference's CKKS batteries likewise use op-dependent deltas)
+    ks_tol = 1e-3
+    assert np.allclose(got(ev.rotate_vector(ca, 1, env["gk"])), np.roll(a, -1), atol=ks_tol)
     conj = ev.complex_conjugate(ca, env["gk"])
     cvals = encoder.decode(dec.decrypt(conj))
-    assert np.allclose(np.real(cvals), a, atol=tol)
+    assert np.allclose(np.real(cvals), a, atol=ks_tol)
 
     # drop-variant mod switch preserves values
     dropped = ev.mod_switch_to_next(ca)
