@@ -72,11 +72,24 @@ def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
         return None
     if n < 2048:
         return None
-    import jax
-
-    if jax.default_backend() in ("cpu",):
+    if _on_cpu():
         return None
     return "pallas" if n >= 16384 else "mxu"
+
+
+def _on_cpu() -> bool:
+    """True when traced computations will execute on the CPU backend.
+
+    ``jax.default_device(cpu)`` redirects placement without changing
+    ``default_backend()`` — host-orchestrated paths (keygen, bench setup)
+    use it inside accelerator processes, and compiled Pallas must not be
+    traced for them (CPU supports interpret mode only)."""
+    import jax
+
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "cpu"
+    return jax.default_backend() == "cpu"
 
 
 def _bcast_k1(lo, hi):
@@ -112,9 +125,7 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     if backend == "pallas":
         from . import pallas_mxu_ntt
 
-        import jax
-        interp = jax.default_backend() in ("cpu",)
-        return pallas_mxu_ntt.pallas_ntt_forward(x, _mxu_tables_for(t), interpret=interp)
+        return pallas_mxu_ntt.pallas_ntt_forward(x, _mxu_tables_for(t), interpret=_on_cpu())
     if backend == "mxu":
         from . import mxu_ntt
 
@@ -167,9 +178,7 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     if backend == "pallas":
         from . import pallas_mxu_ntt
 
-        import jax
-        interp = jax.default_backend() in ("cpu",)
-        return pallas_mxu_ntt.pallas_ntt_inverse(x, _mxu_tables_for(t), interpret=interp)
+        return pallas_mxu_ntt.pallas_ntt_inverse(x, _mxu_tables_for(t), interpret=_on_cpu())
     if backend == "mxu":
         from . import mxu_ntt
 
