@@ -60,7 +60,9 @@ def ckks_encoder_demo():
     encoder = CKKSEncoder(ctx)
 
     vals = np.array([0.0, 1.1, 2.2, 3.3])
-    scale = 2.0**30
+    # match the scale to the 40-bit rescale primes (5_ckks_basics pattern):
+    # after square (2^80) and rescale (/2^40) the scale returns to 2^40
+    scale = 2.0**40
     ct = enc.encrypt(encoder.encode(vals, scale))
     sq = ev.rescale_to_next(ev.relinearize(ev.square(ct), keygen.create_relin_keys()))
     got = encoder.decode(dec.decrypt(sq)).real[:4]
