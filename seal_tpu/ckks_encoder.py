@@ -278,25 +278,57 @@ class CKKSEncoder:
         if not (plain.scale > 0 and math.floor(math.log2(plain.scale)) < cd.total_coeff_modulus_bit_count):
             raise ValueError("scale out of bounds")
 
+        import os
+
         from .context import jit_cached
 
-        def builder(d):
-            from .ops.rns import _cshoup
+        if os.environ.get("SEAL_TPU_DEVICE_COMPOSE", "1") not in ("", "0"):
+            # Default path: iNTT + CRT scaling + compose + center + float
+            # normalization in ONE device dispatch (ops/crt_compose.py);
+            # only (mantissa, exponent, sign) — 13 B/coefficient — cross
+            # the link.  Within an ulp or two of the reference's double
+            # ladder (tolerance-bounded like all CKKS decode).
+            from .ops import crt_compose as CC
 
-            x = NTT.ntt_inverse(d, cd.limb_tables())
-            # fold the CRT scaling (* inv_punctured_i mod q_i) into the
-            # device dispatch so the host compose is a plain word-matrix
-            op, qt = _cshoup(cd.base_q.inv_punctured, cd.coeff_modulus_values)
-            return U.mul_mod_shoup(x, op, qt, cd.limb_tables().q)
+            def builder_dev(d):
+                import jax.numpy as jnp
 
-        intt_scaled = jit_cached(cd, ("ckks_decode_intt_scaled", cd.parms_id), builder)
-        scaled = U.to_np_u64(intt_scaled(plain.rns_data))
-        # exact vectorized CRT compose + centered double ladder — bit-identical
-        # to the reference's multiprecision path (ckks.h:683-787), with the
-        # per-coefficient Python loops replaced by word-plane numpy ops
-        res = cd.base_q.compose_scaled_centered_double(
-            scaled, cd.upper_half_threshold, 1.0 / plain.scale
-        )
+                from .ops.rns import _cshoup
+
+                x = NTT.ntt_inverse(d, cd.limb_tables())
+                op, qt = _cshoup(cd.base_q.inv_punctured, cd.coeff_modulus_values)
+                scaled = U.mul_mod_shoup(x, op, qt, cd.limb_tables().q)
+                mant, exp, neg = CC.centered_float_parts(scaled, cd.base_q)
+                # pack into one array: a single host fetch (the tunnel's
+                # round-trip latency, not bandwidth, dominates small fetches)
+                return jnp.stack(
+                    [mant[0], mant[1], exp.astype(jnp.uint32), neg.astype(jnp.uint32)]
+                )
+
+            fn = jit_cached(cd, ("ckks_decode_parts", cd.parms_id), builder_dev)
+            packed = np.asarray(fn(plain.rns_data))
+            mant_np = packed[0].astype(np.uint64) | (packed[1].astype(np.uint64) << 32)
+            res = CC.parts_to_float(
+                mant_np, packed[2].astype(np.int32), packed[3] != 0, 1.0 / plain.scale
+            )
+        else:
+            def builder(d):
+                from .ops.rns import _cshoup
+
+                x = NTT.ntt_inverse(d, cd.limb_tables())
+                # fold the CRT scaling (* inv_punctured_i mod q_i) into the
+                # device dispatch so the host compose is a plain word-matrix
+                op, qt = _cshoup(cd.base_q.inv_punctured, cd.coeff_modulus_values)
+                return U.mul_mod_shoup(x, op, qt, cd.limb_tables().q)
+
+            intt_scaled = jit_cached(cd, ("ckks_decode_intt_scaled", cd.parms_id), builder)
+            scaled = U.to_np_u64(intt_scaled(plain.rns_data))
+            # exact vectorized CRT compose + centered double ladder —
+            # bit-identical to the reference's multiprecision path
+            # (ckks.h:683-787)
+            res = cd.base_q.compose_scaled_centered_double(
+                scaled, cd.upper_half_threshold, 1.0 / plain.scale
+            )
 
         slots_out = self._fft_to_rev(res.astype(np.complex128))
         return slots_out[self.index_map[: self.slots]]

@@ -218,6 +218,25 @@ class ContextData:
             )
         return self._device_cache["bsk_limb"]
 
+    def tscaled_limb_tables(self, base: str) -> LimbTables:
+        """Inverse-NTT tables with x t folded into the fused 1/n stage.
+
+        The BEHZ pipeline multiplies every iNTT output by the plain
+        modulus t (evaluator.cpp:549); folding t into the inverse scaling
+        constants makes that multiply free.  ``base`` is 'q' or 'bsk'.
+        """
+        key = f"tscaled_{base}"
+        if key not in self._device_cache:
+            t = self.parms.plain_modulus.value
+            if base == "q":
+                mods, host = self.parms.coeff_modulus, self.ntt_tables
+            else:
+                mods, host = self.rns_tool.base_Bsk.moduli, self.rns_tool.base_Bsk_ntt
+            self._device_cache[key] = build_limb_tables(
+                self.log_n, mods, host, inv_scale=[t] * len(mods)
+            )
+        return self._device_cache[key]
+
     def jit_cache(self) -> dict:
         return self._jit_cache
 

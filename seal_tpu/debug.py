@@ -28,7 +28,16 @@ from __future__ import annotations
 
 import os
 
-ENABLED = os.environ.get("SEAL_TPU_DEBUG", "0") not in ("", "0")
+
+def enabled() -> bool:
+    """Whether SEAL_TPU_DEBUG assertions are active.
+
+    Read from the environment on every call so the flag can be toggled
+    after import (between tests, or mid-session).  Note that already-traced
+    jit kernels are cached without the checks; clear the context jit caches
+    (or use a fresh context) after enabling to get checked executables.
+    """
+    return os.environ.get("SEAL_TPU_DEBUG", "0") not in ("", "0")
 
 
 class RangeError(AssertionError):
@@ -48,7 +57,7 @@ def check_below(x, bound, what: str):
     ``x`` is a (lo, hi) u32 pair; ``bound`` a broadcastable (lo, hi) pair.
     No-op (not traced) unless SEAL_TPU_DEBUG=1.
     """
-    if not ENABLED:
+    if not enabled():
         return x
     import jax
 
@@ -61,7 +70,7 @@ def check_below(x, bound, what: str):
 
 def check_below_scalar(x, bound: int, what: str):
     """Same, with a Python-int bound (split into a u32 pair host-side)."""
-    if not ENABLED:
+    if not enabled():
         return x
     import jax.numpy as jnp
 

@@ -102,6 +102,18 @@ def _stage_barrier(x):
     return x
 
 
+_DBL_EPSILON = 2.220446049250313e-16  # std::numeric_limits<double>::epsilon()
+
+
+def are_same_scale(scale1: float, scale2: float) -> bool:
+    """Reference semantics (``util::are_close``, common.h:574-578 via
+    ``are_same_scale``, evaluator.cpp:23-27): machine-epsilon-relative
+    closeness, NOT a loose rtol — a silently accumulated 1e-13 scale drift
+    must fail here exactly as it throws in SEAL."""
+    scale_factor = max(abs(scale1), abs(scale2), 1.0)
+    return abs(scale1 - scale2) < _DBL_EPSILON * scale_factor
+
+
 def _is_scale_within_bounds(scale: float, cd: ContextData) -> bool:
     """Mirrors the reference's is_scale_within_bounds (evaluator.cpp:29-48):
     scale must be a positive *normal* double below the modulus bit bound."""
@@ -212,7 +224,7 @@ class Evaluator:
             raise ValueError("encrypted1 and encrypted2 parameter mismatch")
         if ct1.is_ntt_form != ct2.is_ntt_form:
             raise ValueError("NTT form mismatch")
-        if not np.isclose(ct1.scale, ct2.scale, rtol=1e-12):
+        if not are_same_scale(ct1.scale, ct2.scale):
             raise ValueError("scale mismatch")
 
     # ------------------------------------------------------------------
@@ -375,18 +387,13 @@ class Evaluator:
         conv_q = self._jit(("behz_conv_q", pid, size1, size2, square), conv_builder("q"))
         conv_b = self._jit(("behz_conv_b", pid, size1, size2, square), conv_builder("b"))
 
-        tv = cd.parms.plain_modulus.value
-        qv = cd.coeff_modulus_values
-        bskv = tool.base_Bsk.values
-
         def intt_scale_builder(base):
-            t = cd.limb_tables() if base == "q" else cd.bsk_limb_tables()
-            mods = qv if base == "q" else bskv
+            # x t is folded into the iNTT's fused 1/n constants — the
+            # explicit Shoup-multiply pass of evaluator.cpp:549 is free here
+            t = cd.tscaled_limb_tables(base)
 
             def f(d):
-                op, qt = _cshoup([tv % q for q in mods], mods)
-                y = NTT.ntt_inverse(d, t, lazy=True)
-                return U.mul_mod_shoup(y, op, qt, t.q)
+                return NTT.ntt_inverse(d, t)
 
             return f
 
@@ -562,7 +569,7 @@ class Evaluator:
         # reduce every 64 summands as a guard.
         def contract(t_op, keyc):
             n = t_op[0].shape[-1]
-            if debug.ENABLED:
+            if debug.enabled():
                 # u128 accumulator margin (defines.h:66 rationale): 64 lazy
                 # summands of (4q)*(q) must stay below 2^128 for the largest
                 # modulus in play, or the in-loop Barrett guard is too late.
@@ -839,7 +846,7 @@ class Evaluator:
                 raise ValueError("CKKS operands must be in NTT form")
             if ct.parms_id != plain.parms_id:
                 raise ValueError("encrypted and plain parameter mismatch")
-            if not np.isclose(ct.scale, plain.scale, rtol=1e-12):
+            if not are_same_scale(ct.scale, plain.scale):
                 raise ValueError("scale mismatch")
             fn = self._jit(("add_sub_plain", ct.parms_id, ct.size, is_add), set_c0_op)
             out.data = fn(ct.data, plain.rns_data)

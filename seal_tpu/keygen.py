@@ -67,7 +67,100 @@ class KeyGenerator:
 
     # -- key switching keys ------------------------------------------------
     def _generate_one_kswitch_key(self, target: U.U64, save_seed: bool = False) -> dict:
-        """Encryptions of target*q_last per decomposition limb, stacked."""
+        """Encryptions of target*q_last per decomposition limb, stacked.
+
+        Default path: all D encrypt-zeros in ONE device dispatch with the
+        blake2xb expansion and samplers running on device
+        (ops/blake2_dev.py) — only the D 64-byte bootstrap seeds leave the
+        host.  Byte-identical to the sequential host path (the reference's
+        D ``encrypt_zero_symmetric`` calls, keygenerator.cpp:327-360).
+        """
+        import os as _os
+
+        from .random.prng import PRNGType
+
+        key_cd = self.context.key_context_data()
+        factory = key_cd.parms.random_generator
+        if (
+            factory.prng_type == PRNGType.BLAKE2XB
+            and _os.environ.get("SEAL_TPU_DEVICE_SAMPLING", "1") not in ("", "0")
+        ):
+            out = self._generate_one_kswitch_key_device(target, save_seed)
+            if out is not None:
+                return out
+        return self._generate_one_kswitch_key_host(target, save_seed)
+
+    def _generate_one_kswitch_key_device(self, target: U.U64, save_seed: bool = False):
+        """Batched device path; returns None when the (astronomically rare)
+        rejection-tail overflow demands the host fallback."""
+        if not self.context.using_keyswitching:
+            raise ValueError("keyswitching is not supported by the context")
+        from .ops import blake2_dev as B
+        from .ops.rns import _c, _cshoup
+        from .random import UniformRandomGeneratorInfo
+        from .random.prng import PRNGType
+
+        context = self.context
+        key_cd = context.key_context_data()
+        parms = key_cd.parms
+        key_moduli = key_cd.coeff_modulus_values
+        q_last = key_moduli[-1]
+        D = len(context.first_context_data().parms.coeff_modulus)
+        n = parms.poly_modulus_degree
+        k_key = len(key_moduli)
+        scheme = parms.scheme
+        factory = parms.random_generator
+
+        # One fresh bootstrap PRNG per key, as the reference's per-call
+        # parms.random_generator()->create() (rlwe.cpp:224); only their
+        # seeds travel to the device.
+        boot_seeds = np.array(
+            [factory.create().seed for _ in range(D)], dtype=np.uint64
+        )
+        tbl = key_cd.limb_tables()
+        noise_words = (64 + 6 * n + 7) // 8
+
+        def body(seed_words, tgt, sk):
+            boot = B.expand_stream_words(seed_words, noise_words)
+            pub_seed = (boot[0][:, :8], boot[1][:, :8])  # first 64 bytes
+            noise = B.cbd_noise_from_words(boot, n, skip_bytes=64)  # (D, n)
+            c1, ovf = B.uniform_from_seed_words(pub_seed, n, tuple(key_moduli))
+            e = NTT.ntt_forward(B.lift_signed(noise, key_moduli), tbl)
+            c0 = U.mul_mod(sk, c1, tbl.q, tbl.ratio_lo, tbl.ratio_hi)
+            if scheme == SchemeType.BGV:
+                tv = parms.plain_modulus.value
+                op, qt = _cshoup([tv % q for q in key_moduli], key_moduli)
+                e = U.mul_mod_shoup(e, op, qt, tbl.q)
+            c0 = U.neg_mod(U.add_mod(e, c0, tbl.q), tbl.q)
+            # add (q_last mod q_i) * target into c0's decomposition limb i
+            op, qt = _cshoup([q_last % qi for qi in key_moduli], key_moduli)
+            add_term = U.mul_mod_shoup(tgt, op, qt, _c(key_moduli))
+            summed = U.add_mod(
+                c0, (add_term[0][None], add_term[1][None]),
+                (tbl.q_lo[None], tbl.q_hi[None]),
+            )
+            eye = jnp.asarray(np.eye(D, k_key, dtype=bool))[:, :, None]
+            c0 = U.select64(eye, summed, c0)
+            return c0, c1, pub_seed, ovf
+
+        fn = jit_cached(context, ("ksk_device", key_cd.parms_id, D, scheme), body)
+        c0, c1, pub_seed, ovf = fn(
+            U.from_np_u64(boot_seeds), target, self._secret_key.data
+        )
+        if bool(np.any(np.asarray(ovf))):
+            return None
+        seeds = None
+        if save_seed:
+            pub_np = U.to_np_u64(pub_seed)
+            seeds = [
+                UniformRandomGeneratorInfo(
+                    PRNGType.BLAKE2XB, tuple(int(w) for w in pub_np[i])
+                )
+                for i in range(D)
+            ]
+        return {"c0": c0, "c1": c1, "seeds": seeds}
+
+    def _generate_one_kswitch_key_host(self, target: U.U64, save_seed: bool = False) -> dict:
         if not self.context.using_keyswitching:
             raise ValueError("keyswitching is not supported by the context")
         key_cd = self.context.key_context_data()

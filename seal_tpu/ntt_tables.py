@@ -118,6 +118,9 @@ class LimbTables(NamedTuple):
     # for any limb subset (ops/ntt.py dispatch); () disables the MXU path
     log_n: int = 0
     moduli_values: tuple = ()
+    # per-limb scalar folded into the inverse transform's 1/n constants
+    # (e.g. the BEHZ x t pass); () means unscaled
+    inv_scale: tuple = ()
 
     N_ARRAY_FIELDS = 24  # fields before the metadata tail
 
@@ -210,12 +213,24 @@ def build_dense_stage_tables(log_n: int, moduli: Sequence[Modulus], host_tables=
     return DenseStageTables(fol, foh, fql, fqh, iol, ioh, iql, iqh, q_lo, q_hi, tq_lo, tq_hi)
 
 
-def build_limb_tables(log_n: int, moduli: Sequence[Modulus], host_tables: "Sequence[HostNTTTables] | None" = None) -> LimbTables:
-    """Build the packed device bundle for a modulus vector."""
+def build_limb_tables(
+    log_n: int,
+    moduli: Sequence[Modulus],
+    host_tables: "Sequence[HostNTTTables] | None" = None,
+    inv_scale: "Sequence[int] | None" = None,
+) -> LimbTables:
+    """Build the packed device bundle for a modulus vector.
+
+    ``inv_scale`` (per-limb ints) folds an extra scalar into the inverse
+    transform's fused 1/n stage, so iNTT(x)·s costs the same as iNTT(x) —
+    used by the BEHZ x t pass (evaluator.cpp:549) and decrypt tails.
+    """
     if host_tables is None:
         host_tables = [HostNTTTables(log_n, m) for m in moduli]
     n = 1 << log_n
     k = len(moduli)
+    if inv_scale is None:
+        inv_scale = [1] * k
 
     fwd_op = np.zeros((k, n), dtype=np.uint64)
     fwd_qt = np.zeros((k, n), dtype=np.uint64)
@@ -231,10 +246,11 @@ def build_limb_tables(log_n: int, moduli: Sequence[Modulus], host_tables: "Seque
         fwd_qt[i] = [_shoup(w, q) & 0xFFFFFFFFFFFFFFFF for w in tab.root_powers]
         inv_op[i] = tab.inv_root_powers
         inv_qt[i] = [_shoup(w, q) & 0xFFFFFFFFFFFFFFFF for w in tab.inv_root_powers]
-        invn[i, 0] = tab.inv_degree
-        invn_qt[i, 0] = _shoup(tab.inv_degree, q) & 0xFFFFFFFFFFFFFFFF
-        last[i, 0] = tab.scaled_last_inv_root
-        last_qt[i, 0] = _shoup(tab.scaled_last_inv_root, q) & 0xFFFFFFFFFFFFFFFF
+        s = inv_scale[i] % q
+        invn[i, 0] = tab.inv_degree * s % q
+        invn_qt[i, 0] = _shoup(tab.inv_degree * s % q, q) & 0xFFFFFFFFFFFFFFFF
+        last[i, 0] = tab.scaled_last_inv_root * s % q
+        last_qt[i, 0] = _shoup(tab.scaled_last_inv_root * s % q, q) & 0xFFFFFFFFFFFFFFFF
 
     qv = np.array([[m.value] for m in moduli], dtype=np.uint64)
     two_q = qv * np.uint64(2)
@@ -256,6 +272,7 @@ def build_limb_tables(log_n: int, moduli: Sequence[Modulus], host_tables: "Seque
         nl, nh, nql, nqh, ll, lh, lql, lqh,
         q_lo, q_hi, tq_lo, tq_hi, rll, rlh, rhl, rhh,
         log_n=log_n, moduli_values=tuple(m.value for m in moduli),
+        inv_scale=tuple(int(s) for s in inv_scale),
     )
 
 
@@ -332,6 +349,7 @@ def build_mxu_tables(
     moduli: Sequence[Modulus],
     n2: "int | None" = None,
     host_tables: "Sequence[HostNTTTables] | None" = None,
+    inv_scale: "Sequence[int] | None" = None,
 ) -> MXUTables:
     n = 1 << log_n
     if n2 is None:
@@ -356,12 +374,16 @@ def build_mxu_tables(
     Ti = np.zeros((k, n1, n2), dtype=np.uint64)
     Tiq = np.zeros((k, n1, n2), dtype=np.uint64)
 
+    if inv_scale is None:
+        inv_scale = [1] * k
     for ki, (mod, tab) in enumerate(zip(moduli, host_tables)):
         q = mod.value
         psi = tab.root
         eta = pow(psi, n2, q)          # primitive 2*n1-th root
         zeta = pow(psi, 2 * n1, q)     # primitive n2-th root of unity
-        inv_n1 = numth.invert_mod(n1, q)
+        # the extra inverse-scale (see build_limb_tables) folds into Winv,
+        # the LAST inverse-stage matrix
+        inv_n1 = numth.invert_mod(n1, q) * (inv_scale[ki] % q) % q
         inv_n2 = numth.invert_mod(n2, q)
         for t1 in range(n1):
             e = 2 * numth.reverse_bits(t1, ln1) + 1

@@ -61,6 +61,18 @@ def _recombine_barrett(planes: List[jnp.ndarray], bounds: List[int], t: MXUTable
     ``planes[s]`` is int32 ≥ 0 with static bound ``bounds[s]``; the sum is
     accumulated as four u32 words with carry chains, then Barrett-reduced.
     """
+    return _recombine_barrett_q(
+        planes, bounds,
+        (t.q_lo, t.q_hi),
+        (t.ratio_lo_lo, t.ratio_lo_hi),
+        (t.ratio_hi_lo, t.ratio_hi_hi),
+    )
+
+
+def _recombine_barrett_q(planes: List[jnp.ndarray], bounds: List[int],
+                         q: U64, ratio_lo: U64, ratio_hi: U64) -> U64:
+    """As _recombine_barrett with explicit broadcastable Barrett constants
+    (shared with the MXU base-conversion contraction, ops/rns.py)."""
     shape = planes[0].shape
     w = [jnp.zeros(shape, dtype=jnp.uint32) for _ in range(4)]
     total = sum(b << (7 * s) for s, b in enumerate(bounds))
@@ -88,12 +100,7 @@ def _recombine_barrett(planes: List[jnp.ndarray], bounds: List[int], t: MXUTable
         else:
             # static bound must guarantee no spill past word 3
             assert (bnd << r) >> 32 == 0, "plane spills past 128 bits"
-    return U.barrett_reduce_128(
-        tuple(w),
-        (t.q_lo, t.q_hi),
-        (t.ratio_lo_lo, t.ratio_lo_hi),
-        (t.ratio_hi_lo, t.ratio_hi_hi),
-    )
+    return U.barrett_reduce_128(tuple(w), q, ratio_lo, ratio_hi)
 
 
 def _matmul_mod(x: U64, b_planes, eq: str, kchunk: int, t: MXUTables) -> U64:

@@ -46,10 +46,13 @@ def _mxu_tables_for(t: LimbTables):
     from ..modulus import Modulus
     from ..ntt_tables import build_mxu_tables
 
-    key = (t.log_n, t.moduli_values)
+    scale = t.inv_scale or None
+    key = (t.log_n, t.moduli_values, scale)
     mt = _MXU_TABLE_CACHE.get(key)
     if mt is None:
-        mt = build_mxu_tables(t.log_n, [Modulus(v) for v in t.moduli_values])
+        mt = build_mxu_tables(
+            t.log_n, [Modulus(v) for v in t.moduli_values], inv_scale=scale
+        )
         _MXU_TABLE_CACHE[key] = mt
     return mt
 
@@ -59,9 +62,11 @@ def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
     four-step) or 'pallas' (fused four-step kernel, ops/pallas_mxu_ntt.py).
 
     SEAL_TPU_NTT=xla|mxu|pallas forces; 'auto' (default) uses the einsum
-    kernel on TPU for n in [2048, 16384) and the Pallas kernel for
-    n >= 16384 (measured v5e: pallas is 1.6x at 16384, 3.1x at 32768 —
-    the fused recombine keeps the 2P-1 int32 digit planes out of HBM).
+    kernel on TPU for n in [2048, 8192) and the Pallas kernel for
+    n >= 8192 (measured v5e: pallas is 1.25x at 8192 standalone and a
+    clear win inside composed graphs — BEHZ multiply 725 -> 634 us —
+    1.6x at 16384, 3.1x at 32768; the fused recombine keeps the 2P-1
+    int32 digit planes out of HBM).
     """
     if not t.moduli_values or (1 << t.log_n) != n:
         return None
@@ -72,13 +77,17 @@ def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
         return None
     if n < 2048:
         return None
-    if _on_cpu():
+    plat = _effective_platform()
+    if plat == "cpu":
         return None
-    return "pallas" if n >= 16384 else "mxu"
+    # The Pallas kernel uses TPU memory spaces (pltpu.VMEM/SMEM) and only
+    # compiles for TPU; other accelerators fall back to the portable einsum
+    # formulation.
+    return "pallas" if (n >= 8192 and plat == "tpu") else "mxu"
 
 
-def _on_cpu() -> bool:
-    """True when traced computations will execute on the CPU backend.
+def _effective_platform() -> str:
+    """Platform traced computations will execute on ('cpu'/'tpu'/...).
 
     ``jax.default_device(cpu)`` redirects placement without changing
     ``default_backend()`` — host-orchestrated paths (keygen, bench setup)
@@ -88,8 +97,14 @@ def _on_cpu() -> bool:
 
     dd = jax.config.jax_default_device
     if dd is not None:
-        return getattr(dd, "platform", None) == "cpu"
-    return jax.default_backend() == "cpu"
+        plat = getattr(dd, "platform", None)
+        if plat is not None:
+            return plat
+    return jax.default_backend()
+
+
+def _on_cpu() -> bool:
+    return _effective_platform() == "cpu"
 
 
 def _bcast_k1(lo, hi):
@@ -118,7 +133,7 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     *lead, k, n = lo.shape
     logn = int(n).bit_length() - 1
     assert (1 << logn) == n
-    if debug.ENABLED:
+    if debug.enabled():
         tq_b = (t.two_q_lo, t.two_q_hi)  # (k, 1), broadcasts over coeffs
         debug.check_below(x, U.add64(tq_b, tq_b), "ntt_forward input < 4q (ntt.h:200-209)")
     backend = _dispatch_mxu(t, n)
@@ -154,10 +169,10 @@ def ntt_forward(x: U64, t: LimbTables, lazy: bool = False) -> U64:
         q = (t.q_lo, t.q_hi)
         y = _guard((lo, hi), two_q)
         y = U.select64(U.ge64(y, q), U.sub64(y, q), y)
-        if debug.ENABLED:
+        if debug.enabled():
             debug.check_below(y, q, "ntt_forward output < q")
         return y
-    if debug.ENABLED:
+    if debug.enabled():
         tq_b = (t.two_q_lo, t.two_q_hi)
         debug.check_below((lo, hi), U.add64(tq_b, tq_b), "ntt_forward_lazy output < 4q")
     return lo, hi
@@ -172,7 +187,7 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
     *lead, k, n = lo.shape
     logn = int(n).bit_length() - 1
     assert (1 << logn) == n
-    if debug.ENABLED:
+    if debug.enabled():
         debug.check_below(x, (t.two_q_lo, t.two_q_hi), "ntt_inverse input < 2q (ntt.h:298-307)")
     backend = _dispatch_mxu(t, n)
     if backend == "pallas":
@@ -219,10 +234,10 @@ def ntt_inverse(x: U64, t: LimbTables, lazy: bool = False) -> U64:
         q = (t.q_lo, t.q_hi)
         y = (lo, hi)
         y = U.select64(U.ge64(y, q), U.sub64(y, q), y)
-        if debug.ENABLED:
+        if debug.enabled():
             debug.check_below(y, q, "ntt_inverse output < q")
         return y
-    if debug.ENABLED:
+    if debug.enabled():
         debug.check_below((lo, hi), (t.two_q_lo, t.two_q_hi),
                           "ntt_inverse_lazy output < 2q")
     return lo, hi

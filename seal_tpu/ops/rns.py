@@ -53,12 +53,146 @@ def fast_convert_array(x: U64, conv: HostBaseConverter) -> U64:
 
     cf. ``BaseConverter::fast_convert_array`` (rns.cpp:418-465): scale by
     inverse punctured products, then an exact u128-accumulated dot product
-    with the base-change matrix, Barrett-reduced per output limb.
+    with the base-change matrix, Barrett-reduced per output limb.  On TPU
+    the contraction dispatches to an int8 digit-plane matmul (the
+    ``ops/mxu_ntt.py`` machinery applied to the base-change matrix) — the
+    MXU path for the k_in x k_out limb contraction called out in
+    SURVEY.md §2.12.
     """
     d = conv.device()
-    k_in = conv.ibase.size
     temp = U.mul_mod_shoup(x, d["inv_punct_op"], d["inv_punct_qt"], d["iq"])
+    if _use_mxu_fbc():
+        return _convert_contraction_mxu(temp, conv)
     return _convert_contraction(temp, d["matrix"], d["oq"], d["oratio_lo"], d["oratio_hi"])
+
+
+def int8_plane_dot(eq: str, b, x):
+    """int8 digit-plane contraction with int32 accumulation.
+
+    On the CPU backend the int8 operands are upcast to int32 first: XLA's
+    CPU emitter miscompiles fused i8xi8->i32 dots under
+    --xla_force_host_platform_device_count (invalid LLVM IR, 'add i32, i8');
+    on TPU the int8 form is what engages the MXU.
+    """
+    from .ntt import _effective_platform
+
+    if _effective_platform() == "cpu":
+        b = jnp.asarray(b, dtype=jnp.int32)
+        x = x.astype(jnp.int32)
+    else:
+        b = jnp.asarray(b)
+    return jnp.einsum(eq, b, x, preferred_element_type=jnp.int32)
+
+
+def _use_mxu_fbc() -> bool:
+    """Trace-time backend choice for the FBC contraction.
+
+    SEAL_TPU_FBC=u128 forces the lane-pair u128 ladder; =mxu forces the
+    digit-plane matmul (exact everywhere, incl. CPU); 'auto' (default)
+    picks mxu on accelerator backends — the u128 ladder is
+    u32-multiply-throughput-bound on the VPU.
+    """
+    import os
+
+    mode = os.environ.get("SEAL_TPU_FBC", "auto")
+    if mode == "mxu":
+        return True
+    if mode == "u128":
+        return False
+    from .ntt import _effective_platform
+
+    return _effective_platform() != "cpu"
+
+
+def _fbc_planes(conv: HostBaseConverter):
+    """Cached plane-fused int8 matrix + bounds for conv's change matrix.
+
+    The digit-plane decomposition is folded INTO the contraction axis:
+    one (k_out*P_s, k_in*P_d) int8 matrix B with
+    ``B[(s, j), (a, i)] = matrix[j, i]'s (s-a)-th 7-bit digit`` turns the
+    P_d x P_m per-plane dot products into a single MXU-shaped matmul whose
+    contraction axis is k_in*P_d wide (a bare k_in-deep contraction would
+    waste the systolic array at the FBC's small limb counts).
+    """
+    cache = getattr(conv, "_mxu_planes", None)
+    if cache is not None:
+        return cache
+    in_vals = conv.ibase.values
+    out_vals = conv.obase.values
+    k_out, k_in = len(out_vals), len(in_vals)
+    max_in = max(in_vals)
+    max_mat = max(max(row) for row in conv.matrix) if k_out else 0
+    p_d = max(1, -(-((max_in - 1).bit_length()) // 7))
+    p_m = max(1, -(-(max(1, max_mat).bit_length()) // 7))
+    p_s = p_d + p_m - 1
+    mat = np.array(conv.matrix, dtype=np.uint64)  # (k_out, k_in)
+    big = np.zeros((p_s, k_out, p_d, k_in), dtype=np.int8)
+    for s in range(p_s):
+        for a in range(p_d):
+            b = s - a
+            if 0 <= b < p_m:
+                big[s, :, a, :] = (
+                    (mat >> np.uint64(7 * b)) & np.uint64(0x7F)
+                ).astype(np.int8)
+    big = big.reshape(p_s * k_out, p_d * k_in)
+    # per-plane digit bounds (top plane is smaller than 127)
+    db_d = [127] * (p_d - 1) + [(max_in - 1) >> (7 * (p_d - 1))]
+    db_m = [127] * (p_m - 1) + [max(1, max_mat) >> (7 * (p_m - 1))]
+    bounds = [0] * p_s
+    for a in range(p_d):
+        for b in range(p_m):
+            bounds[a + b] += db_d[a] * db_m[b]
+    # contraction chunk (over k_in) so the recombined sum stays < 2^128
+    per_term = max_in * max(1, max_mat)
+    kchunk = max(1, min(k_in, (1 << 128) // max(1, per_term)))
+    # cached host-side (numpy): a jnp constant captured inside one trace
+    # must not leak into later traces
+    cache = (big, p_d, p_m, bounds, int(kchunk))
+    conv._mxu_planes = cache
+    return cache
+
+
+def _convert_contraction_mxu(temp: U64, conv: HostBaseConverter) -> U64:
+    """Plane-fused int8 matmul formulation of _convert_contraction.
+
+    Bit-identical result: 7-bit digit products are < 2^14 ints summed over
+    at most kchunk*P_d terms per int32 partial (no overflow), recombined
+    into a u128 and Barrett-reduced with the same constants as the u128
+    ladder.
+    """
+    from .mxu_ntt import _recombine_barrett_q, _to_planes
+
+    d = conv.device()
+    big, p_d, p_m, bounds0, kchunk = _fbc_planes(conv)
+    k_in = conv.ibase.size
+    k_out = conv.obase.size
+    p_s = p_d + p_m - 1
+    xp = _to_planes(temp, p_d)  # list of int8 (..., k_in, n)
+    # data layout (..., p_d * k_in, n) matching B's column order
+    x_all = jnp.concatenate(xp, axis=-2)
+    lead = x_all.shape[:-2]
+    n = x_all.shape[-1]
+    nchunks = -(-k_in // kchunk)
+    oq = d["oq"]
+    orlo, orhi = d["oratio_lo"], d["oratio_hi"]
+    bigm = big.reshape(p_s * k_out, p_d, k_in)
+    acc = None
+    for ch in range(nchunks):
+        sl = slice(ch * kchunk, min((ch + 1) * kchunk, k_in))
+        ck = min(kchunk, k_in - ch * kchunk)
+        if nchunks > 1:
+            bc = jnp.asarray(np.ascontiguousarray(bigm[:, :, sl]).reshape(p_s * k_out, -1))
+            xc = x_all.reshape(*lead, p_d, k_in, n)[..., sl, :].reshape(*lead, -1, n)
+        else:
+            bc, xc = jnp.asarray(big), x_all
+        part = int8_plane_dot("RA,...An->...Rn", bc, xc).reshape(
+            *lead, p_s, k_out, n
+        )
+        planes_out = [part[..., s, :, :] for s in range(p_s)]
+        bounds = [b * ck for b in bounds0]
+        red = _recombine_barrett_q(planes_out, bounds, oq, orlo, orhi)
+        acc = red if acc is None else U.add_mod(acc, red, oq)
+    return acc
 
 
 def _convert_contraction(temp: U64, matrix: U64, oq: U64, oratio_lo: U64, oratio_hi: U64) -> U64:
@@ -119,17 +253,13 @@ def exact_convert_array(x: U64, conv: HostBaseConverter) -> U64:
 # ---------------------------------------------------------------------------
 
 def fastbconv_m_tilde(x: U64, tool: HostRNSTool) -> U64:
-    """q -> Bsk U {m_tilde}: scale by m_tilde then FBC (rns.cpp:1086-1131)."""
-    qv = tool.base_q.values
-    mt_op, mt_qt = _cshoup([tool.m_tilde.value % q for q in qv], qv)
-    q = _c(qv)
-    temp = U.mul_mod_shoup(x, mt_op, mt_qt, q)
-    dest_bsk = fast_convert_array(temp, tool.conv_q_to_Bsk)
-    dest_mt = fast_convert_array(temp, tool.conv_q_to_m_tilde)
-    return (
-        jnp.concatenate([dest_bsk[0], dest_mt[0]], axis=-2),
-        jnp.concatenate([dest_bsk[1], dest_mt[1]], axis=-2),
-    )
+    """q -> Bsk U {m_tilde}: scale by m_tilde then FBC (rns.cpp:1086-1131).
+
+    The x m_tilde scaling, the FBC inv-punctured scaling, and both output
+    bases (Bsk and {m_tilde}) are fused into one prescaled merged
+    converter: a single Shoup multiply + a single contraction.
+    """
+    return fast_convert_array(x, tool.conv_q_to_Bsk_m_tilde_scaled)
 
 
 def sm_mrq(x: U64, tool: HostRNSTool) -> U64:
@@ -153,9 +283,11 @@ def sm_mrq(x: U64, tool: HostRNSTool) -> U64:
     centered = U.select64(U.ge64(r_mt, half), U.add64(r_mt, corr), r_mt)
 
     q_bsk = _c(bskv)
-    rlo, rhi = _ratio(bskv)
-    prod_q = _c(tool.prod_q_mod_Bsk)
-    inner = U.mul_add_mod(centered, prod_q, x_bsk, q_bsk, rlo, rhi)
+    # centered * prod_q mod q via Shoup (prod_q < q is the precomputed
+    # operand; centered may exceed q — Shoup multiplication stays exact
+    # for any 64-bit multiplicand), cheaper than the 128-bit Barrett
+    pq_op, pq_qt = _cshoup(tool.prod_q_mod_Bsk, bskv)
+    inner = U.add_mod(U.mul_mod_shoup(centered, pq_op, pq_qt, q_bsk), x_bsk, q_bsk)
     imt_op, imt_qt = _cshoup(tool.inv_m_tilde_mod_Bsk, bskv)
     return U.mul_mod_shoup(inner, imt_op, imt_qt, q_bsk)
 
@@ -175,13 +307,19 @@ def fast_floor(x: U64, tool: HostRNSTool) -> U64:
 
 
 def fastbconv_sk(x: U64, tool: HostRNSTool) -> U64:
-    """Shenoy-Kumaresan conversion Bsk -> q (rns.cpp:903-978)."""
+    """Shenoy-Kumaresan conversion Bsk -> q (rns.cpp:903-978).
+
+    The two conversions (B -> q and B -> m_sk) run as one merged
+    contraction to q U {m_sk}.
+    """
     k_B = tool.base_B.size
+    k_q = tool.base_q.size
     x_B = (x[0][..., :k_B, :], x[1][..., :k_B, :])
     x_sk = (x[0][..., k_B:, :], x[1][..., k_B:, :])
 
-    dest = fast_convert_array(x_B, tool.conv_B_to_q)
-    temp = fast_convert_array(x_B, tool.conv_B_to_m_sk)
+    both = fast_convert_array(x_B, tool.conv_B_to_q_m_sk)
+    dest = (both[0][..., :k_q, :], both[1][..., :k_q, :])
+    temp = (both[0][..., k_q:, :], both[1][..., k_q:, :])
 
     msk = tool.m_sk.value
     msk_c = U.const_u64(msk, (1, 1))
@@ -341,6 +479,7 @@ def slice_limbs(t: LimbTables, start: int, stop: int) -> LimbTables:
     return LimbTables(
         *(arr[start:stop] for arr in t[:na]),
         log_n=t.log_n, moduli_values=t.moduli_values[start:stop],
+        inv_scale=t.inv_scale[start:stop] if t.inv_scale else (),
     )
 
 
@@ -352,4 +491,5 @@ def take_limbs(t: LimbTables, indices) -> LimbTables:
         *(arr[idx] for arr in t[:na]),
         log_n=t.log_n,
         moduli_values=tuple(t.moduli_values[int(i)] for i in idx) if t.moduli_values else (),
+        inv_scale=tuple(t.inv_scale[int(i)] for i in idx) if t.inv_scale else (),
     )

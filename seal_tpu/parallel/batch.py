@@ -22,6 +22,7 @@ from ..evaluator import (
     _balance_correction_factors,
     _is_scale_within_bounds,
     _stack_polys,
+    are_same_scale,
 )
 from ..ops import ntt as NTT
 from ..ops import poly as P_ops
@@ -174,21 +175,12 @@ class BatchEvaluator:
         conv_q = self._jit(("batchb_conv_q", pid, size1, size2), conv_builder("q"))
         conv_b = self._jit(("batchb_conv_b", pid, size1, size2), conv_builder("b"))
 
-        from ..ops.rns import _cshoup
-        from ..ops import u64 as U
-
-        tv = cd.parms.plain_modulus.value
-        qv = cd.coeff_modulus_values
-        bskv = tool.base_Bsk.values
-
         def intt_scale_builder(base):
-            t = cd.limb_tables() if base == "q" else cd.bsk_limb_tables()
-            mods = qv if base == "q" else bskv
+            # x t folded into the iNTT 1/n constants (see Evaluator._bfv_multiply)
+            t = cd.tscaled_limb_tables("q" if base == "q" else "bsk")
 
             def f(d):
-                op, qt = _cshoup([tv % q for q in mods], mods)
-                y = NTT.ntt_inverse(d, t, lazy=True)
-                return U.mul_mod_shoup(y, op, qt, t.q)
+                return NTT.ntt_inverse(d, t)
 
             return lambda d: jax.vmap(f)(d)
 
@@ -267,7 +259,7 @@ class BatchEvaluator:
             raise ValueError("parameter mismatch")
         if b1.is_ntt_form != b2.is_ntt_form:
             raise ValueError("NTT form mismatch")
-        if not np.isclose(b1.scale, b2.scale, rtol=1e-12):
+        if not are_same_scale(b1.scale, b2.scale):
             raise ValueError("scale mismatch")
         cd = self.context.get_context_data(b1.parms_id)
         from ..ops import u64 as U

@@ -61,6 +61,12 @@ def encrypt_zero_symmetric(
     if bootstrap_prng is None:
         bootstrap_prng = parms.random_generator.create()
 
+    dev = _encrypt_zero_symmetric_device(
+        secret_key, context, parms_id, is_ntt_form, save_seed, bootstrap_prng
+    )
+    if dev is not None:
+        return dev
+
     # Public seed for c1; expanded by a fresh default-type PRNG.
     import struct
 
@@ -116,6 +122,107 @@ def encrypt_zero_symmetric(
     )
     if save_seed:
         ct.seed_info = ciphertext_prng.info()
+    return ct
+
+
+def _encrypt_zero_symmetric_device(
+    secret_key: SecretKey,
+    context: SealContext,
+    parms_id: ParmsId,
+    is_ntt_form: bool,
+    save_seed: bool,
+    bootstrap_prng,
+) -> Optional[Ciphertext]:
+    """Device-sampled encrypt-zero (ops/blake2_dev.py): the blake2xb
+    expansion, uniform rejection sampling and CBD noise all run on device;
+    only the 64-byte bootstrap seed travels.  Byte-identical to the host
+    path; returns None when unavailable (non-blake2xb PRNG, non-CBD noise,
+    disabled, or rejection-tail overflow).
+    """
+    import os
+
+    from .random.prng import Blake2xbPRNG
+    from .random.sampler import sample_poly_cbd
+
+    if os.environ.get("SEAL_TPU_DEVICE_SAMPLING", "1") in ("", "0"):
+        return None
+    if not isinstance(bootstrap_prng, Blake2xbPRNG):
+        return None
+    if sample_poly_noise is not sample_poly_cbd:
+        return None
+
+    from .ops import blake2_dev as B
+    from .ops.rns import _cshoup
+
+    cd = context.get_context_data(parms_id)
+    parms = cd.parms
+    moduli = cd.coeff_modulus_values
+    n = parms.poly_modulus_degree
+    t = cd.limb_tables()
+    scheme = parms.scheme
+    pos = bootstrap_prng._pos  # resume mid-stream exactly
+    nwords = (pos + 64 + 6 * n + 7) // 8
+
+    def body(seed_words, sk_full):
+        boot = B.expand_stream_words(seed_words, nwords)
+        boot_bytes = B.words_to_bytes(boot)
+        pub_bytes = boot_bytes[:, pos : pos + 64]
+        # pack the 64 seed bytes back into 8 u64 words
+        pb = pub_bytes.reshape(1, 8, 8)
+        w_lo = sum(pb[:, :, i] << (8 * i) for i in range(4))
+        w_hi = sum(pb[:, :, i + 4] << (8 * i) for i in range(4))
+        pub_seed = (w_lo, w_hi)
+        noise = B.cbd_noise_from_words(boot, n, skip_bytes=pos + 64)[0]  # (n,)
+        c1s, ovf = B.uniform_from_seed_words(pub_seed, n, tuple(moduli))
+        c1 = (c1s[0][0], c1s[1][0])  # (k, n)
+        k = len(moduli)
+        sk = (sk_full[0][:k], sk_full[1][:k])
+        c1_ntt = c1 if is_ntt_form or not save_seed else NTT.ntt_forward(c1, t)
+        # when not ntt_form and not save_seed the sampled value IS the NTT
+        # form (uniform is domain-invariant); see the host path
+        c0 = U.mul_mod(sk, c1_ntt, t.q, t.ratio_lo, t.ratio_hi)
+        e = NTT.ntt_forward(B.lift_signed(noise, moduli), t) if is_ntt_form \
+            else B.lift_signed(noise, moduli)
+        if not is_ntt_form:
+            c0 = NTT.ntt_inverse(c0, t)
+        if scheme == SchemeType.BGV:
+            tv = parms.plain_modulus.value
+            op, qt = _cshoup([tv % q for q in moduli], moduli)
+            e = U.mul_mod_shoup(e, op, qt, t.q)
+        c0 = U.neg_mod(U.add_mod(e, c0, t.q), t.q)
+        if is_ntt_form or save_seed:
+            c1_out = c1
+        else:
+            c1_out = NTT.ntt_inverse(c1_ntt, t)
+        data = (jnp.stack([c0[0], c1_out[0]]), jnp.stack([c0[1], c1_out[1]]))
+        return data, pub_seed, ovf
+
+    fn = _jit(
+        context,
+        ("enc_zero_sym_dev", parms_id, is_ntt_form, save_seed, pos),
+        body,
+    )
+    seed_words = U.from_np_u64(np.array([bootstrap_prng.seed], dtype=np.uint64))
+    data, pub_seed, ovf = fn(seed_words, secret_key.data)
+    if bool(np.any(np.asarray(ovf))):
+        return None
+    # advance the bootstrap stream as if the bytes were drawn host-side
+    bootstrap_prng._pos = pos + 64 + 6 * n
+    ct = Ciphertext(
+        data=data,
+        parms_id=parms_id,
+        is_ntt_form=is_ntt_form,
+        scale=1.0,
+        correction_factor=1,
+    )
+    if save_seed:
+        pub_np = U.to_np_u64(pub_seed)[0]
+        from .random import UniformRandomGeneratorInfo
+        from .random.prng import PRNGType
+
+        ct.seed_info = UniformRandomGeneratorInfo(
+            PRNGType.BLAKE2XB, tuple(int(w) for w in pub_np)
+        )
     return ct
 
 

@@ -117,23 +117,37 @@ class HostRNSBase:
         mask = np.uint64(0xFFFFFFFF)
         W = (self.base_prod.bit_length() + 31) // 32
         acc = np.zeros((W + 3, n), dtype=np.uint64)
-        pw32 = self._punctured_words32()
-        for i in range(k):
-            c = scaled[i].astype(np.uint64)
-            c_lo = c & mask
-            c_hi = c >> np.uint64(32)
-            for w, pword in enumerate(pw32[i]):
-                pw = np.uint64(pword)
-                t1 = c_lo * pw
-                acc[w] += t1 & mask
-                acc[w + 1] += t1 >> np.uint64(32)
-                t2 = c_hi * pw
-                acc[w + 1] += t2 & mask
-                acc[w + 2] += t2 >> np.uint64(32)
-            # keep headroom: each position gains < 4*2^32 per limb; propagate
-            # every 16 limbs (worst case 16*4*2^32 < 2^38 << 2^64)
-            if (i & 15) == 15:
-                self._mw_normalize(acc)
+
+        # Plane-fused accumulation as ONE f64 matmul (multithreaded BLAS):
+        # B[s, (i, a)] = 16-bit digit (s - a) of punctured_prod_i, C[(i, a), n]
+        # = 16-bit digits of scaled_i.  Each plane sum is < 4k * 2^32 < 2^40,
+        # exact in f64; ~20x faster than the per-(limb, word) uint64 ladder
+        # at 32768 (the reference's compose is the O(k^2) scalar path,
+        # rns.cpp compose_array).
+        B = getattr(self, "_compose_digit_matrix", None)
+        if B is None:
+            wd = (self.base_prod.bit_length() + 15) // 16
+            sp = wd + 4
+            B = np.zeros((sp, k * 4), dtype=np.float64)
+            for i, p in enumerate(self.punctured_prod):
+                for a in range(4):
+                    for s in range(a, min(a + wd, sp)):
+                        B[s, i * 4 + a] = float((p >> (16 * (s - a))) & 0xFFFF)
+            self._compose_digit_matrix = B
+        sp = B.shape[0]
+        C = np.empty((k * 4, n), dtype=np.float64)
+        for a in range(4):
+            C[a::4] = ((scaled >> np.uint64(16 * a)) & np.uint64(0xFFFF)).astype(
+                np.float64
+            )
+        planes = (B @ C).astype(np.uint64)  # (sp, n), each < 2^40: exact
+        # each acc word receives one even plane (< 2^40) and one odd plane
+        # shifted by 16 (< 2^56): sums stay far below 2^64 before normalize
+        for s in range(sp):
+            w = s >> 1
+            if w >= acc.shape[0]:
+                break
+            acc[w] += planes[s] << np.uint64(16 * (s & 1))
         self._mw_normalize(acc)
 
         # v < k * base_prod: estimate the multiple in float64 from the top
@@ -270,11 +284,18 @@ class HostRNSBase:
 
 
 class HostBaseConverter:
-    """Fast base conversion q -> p via cached change matrix (``BaseConverter``)."""
+    """Fast base conversion q -> p via cached change matrix (``BaseConverter``).
 
-    def __init__(self, ibase: HostRNSBase, obase: HostRNSBase):
+    ``prescale`` (per-input-limb ints) folds an extra factor into the
+    inv-punctured pre-multiplication, so e.g. the BEHZ ``x m_tilde`` step
+    (rns.cpp:1086) costs nothing extra: the FBC's one Shoup multiply uses
+    the combined constant ``prescale_i * (q/q_i)^-1 mod q_i``.
+    """
+
+    def __init__(self, ibase: HostRNSBase, obase: HostRNSBase, prescale=None):
         self.ibase = ibase
         self.obase = obase
+        self.prescale = list(prescale) if prescale is not None else None
         # matrix[j][i] = punctured_prod_i mod p_j
         self.matrix = [
             [p % oj for p in ibase.punctured_prod] for oj in obase.values
@@ -286,8 +307,9 @@ class HostBaseConverter:
         if self._dev is None:
             ib, ob = self.ibase, self.obase
             inv_op, inv_qt = [], []
-            for inv, q in zip(ib.inv_punctured, ib.values):
-                o, s = shoup_pair(inv, q)
+            pres = self.prescale or [1] * ib.size
+            for inv, q, pre in zip(ib.inv_punctured, ib.values, pres):
+                o, s = shoup_pair(inv * (pre % q) % q, q)
                 inv_op.append(o)
                 inv_qt.append(s)
             mat_flat = [self.matrix[j][i] for j in range(ob.size) for i in range(ib.size)]
@@ -347,8 +369,20 @@ class HostRNSTool:
         # Base converters
         self.conv_q_to_Bsk = HostBaseConverter(base_q, self.base_Bsk)
         self.conv_q_to_m_tilde = HostBaseConverter(base_q, HostRNSBase([self.m_tilde]))
+        # merged + m_tilde-prescaled converter: fastbconv_m_tilde in ONE
+        # Shoup multiply + ONE contraction (rns.cpp:1086 folds the x m_tilde
+        # and both conversions)
+        self.conv_q_to_Bsk_m_tilde_scaled = HostBaseConverter(
+            base_q, self.base_Bsk_m_tilde, prescale=[self.m_tilde.value] * k
+        )
         self.conv_B_to_q = HostBaseConverter(self.base_B, base_q)
         self.conv_B_to_m_sk = HostBaseConverter(self.base_B, HostRNSBase([self.m_sk]))
+        # merged converter: fastbconv_sk's two conversions (B->q and
+        # B->m_sk, rns.cpp:903-978) share their input scaling and run as
+        # one contraction to q U {m_sk}
+        self.conv_B_to_q_m_sk = HostBaseConverter(
+            self.base_B, HostRNSBase(list(base_q.moduli) + [self.m_sk])
+        )
         self.conv_q_to_t_gamma = None
         self.conv_q_to_t = None
         if self.base_t_gamma is not None:
