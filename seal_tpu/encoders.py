@@ -63,12 +63,18 @@ class BatchEncoder:
             raise ValueError("input value is larger than plain_modulus")
         buf = np.zeros(self.slots, dtype=np.uint64)
         buf[self.index_map[: arr.size]] = arr
-        from .context import jit_cached
+        # host data in, host data out: the mod-t transform runs in the
+        # native C NTT (native/ntt_mod.c) — a device dispatch here would be
+        # pure host<->device round-trip latency (batchencoder.cpp:110-148)
+        from . import native
+        from .ntt_tables import host_c_ntt_tables
 
-        intt = jit_cached(cd, ("plain_intt", cd.parms_id),
-                          lambda d: NTT.ntt_inverse(d, cd.plain_limb_tables()))
-        out = intt(U.from_np_u64(buf[None, :]))
-        return Plaintext.from_coeffs(U.to_np_u64(out)[0])
+        ct = host_c_ntt_tables(cd.log_n, cd.parms.plain_modulus)
+        native.ntt_mod_inv(
+            buf, ct["q"], ct["inv_op"], ct["inv_qt"],
+            ct["invn_op"], ct["invn_qt"], ct["last_op"], ct["last_qt"],
+        )
+        return Plaintext.from_coeffs(buf)
 
     def encode_int64(self, values: Sequence[int]) -> Plaintext:
         """Signed variant: negatives wrap mod t (batchencoder.cpp:150-194)."""
@@ -79,22 +85,21 @@ class BatchEncoder:
             raise ValueError("input value is out of range")
         return self.encode(np.where(arr < 0, arr + t, arr).astype(np.uint64))
 
-    def decode(self, plain: Plaintext) -> List[int]:
+    def decode(self, plain: Plaintext) -> np.ndarray:
         if plain.is_ntt_form:
             raise ValueError("plain cannot be in NTT form")
         cd = self.context.first_context_data()
         buf = np.zeros(self.slots, dtype=np.uint64)
         data = plain.coeff_data[: self.slots]
         buf[: len(data)] = data
-        from .context import jit_cached
+        from . import native
+        from .ntt_tables import host_c_ntt_tables
 
-        fwd = jit_cached(cd, ("plain_ntt", cd.parms_id),
-                         lambda d: NTT.ntt_forward(d, cd.plain_limb_tables()))
-        vals = U.to_np_u64(fwd(U.from_np_u64(buf[None, :])))[0]
-        return vals[self.index_map].tolist()
+        ct = host_c_ntt_tables(cd.log_n, cd.parms.plain_modulus)
+        native.ntt_mod_fwd(buf, ct["q"], ct["fwd_op"], ct["fwd_qt"])
+        return buf[self.index_map]
 
-    def decode_int64(self, plain: Plaintext) -> List[int]:
+    def decode_int64(self, plain: Plaintext) -> np.ndarray:
         t = self.context.first_context_data().parms.plain_modulus.value
         vals = np.asarray(self.decode(plain), dtype=np.uint64)
-        signed = np.where(vals > np.uint64(t >> 1), vals.astype(np.int64) - t, vals.astype(np.int64))
-        return signed.tolist()
+        return np.where(vals > np.uint64(t >> 1), vals.astype(np.int64) - t, vals.astype(np.int64))

@@ -83,6 +83,7 @@ class KeyGenerator:
         factory = key_cd.parms.random_generator
         if (
             factory.prng_type == PRNGType.BLAKE2XB
+            and key_cd.parms.noise_sampler == "cbd"
             and _os.environ.get("SEAL_TPU_DEVICE_SAMPLING", "1") not in ("", "0")
         ):
             out = self._generate_one_kswitch_key_device(target, save_seed)

@@ -16,7 +16,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["blake2.c"]
+_SOURCES = ["blake2.c", "ntt_mod.c"]
 _SO_NAME = "libseal_native.so"
 
 
@@ -48,8 +48,37 @@ def load():
         lib.seal_blake2xb_fill.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64, ctypes.c_char_p,
         ]
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.seal_ntt_mod_fwd.argtypes = [
+            u64p, ctypes.c_size_t, ctypes.c_uint64, u64p, u64p,
+        ]
+        lib.seal_ntt_mod_inv.argtypes = [
+            u64p, ctypes.c_size_t, ctypes.c_uint64, u64p, u64p,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+        ]
         _LIB = lib
         return _LIB
+
+
+def _u64p(arr):
+    import numpy as np
+
+    assert arr.dtype == np.uint64 and arr.flags["C_CONTIGUOUS"]
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def ntt_mod_fwd(arr, q: int, w_op, w_qt) -> None:
+    """In-place forward negacyclic NTT mod q of a (n,) uint64 array."""
+    lib = load()
+    lib.seal_ntt_mod_fwd(_u64p(arr), arr.size, q, _u64p(w_op), _u64p(w_qt))
+
+
+def ntt_mod_inv(arr, q: int, w_op, w_qt, invn_op: int, invn_qt: int,
+                last_op: int, last_qt: int) -> None:
+    """In-place inverse negacyclic NTT mod q (1/n fused)."""
+    lib = load()
+    lib.seal_ntt_mod_inv(_u64p(arr), arr.size, q, _u64p(w_op), _u64p(w_qt),
+                         invn_op, invn_qt, last_op, last_qt)
 
 
 def blake2b(outlen: int, data: bytes, key: bytes = b"") -> bytes:

@@ -75,6 +75,40 @@ def _shoup(operand: int, q: int) -> int:
     return (operand << 64) // q
 
 
+_HOST_C_NTT_CACHE: dict = {}
+
+
+def host_c_ntt_tables(log_n: int, modulus: Modulus) -> dict:
+    """Numpy (op, qt) twiddle arrays + fused-inverse constants for the
+    native C host NTT (native/ntt_mod.c); cached per (log_n, q)."""
+    key = (log_n, modulus.value)
+    t = _HOST_C_NTT_CACHE.get(key)
+    if t is None:
+        tab = cached_host_ntt_tables(log_n, modulus)
+        q = modulus.value
+        mask = (1 << 64) - 1
+
+        def pair(vals):
+            return (
+                np.array(vals, dtype=np.uint64),
+                np.array([_shoup(w, q) & mask for w in vals], dtype=np.uint64),
+            )
+
+        fwd_op, fwd_qt = pair(tab.root_powers)
+        inv_op, inv_qt = pair(tab.inv_root_powers)
+        t = {
+            "q": q,
+            "fwd_op": fwd_op, "fwd_qt": fwd_qt,
+            "inv_op": inv_op, "inv_qt": inv_qt,
+            "invn_op": tab.inv_degree,
+            "invn_qt": _shoup(tab.inv_degree, q) & mask,
+            "last_op": tab.scaled_last_inv_root,
+            "last_qt": _shoup(tab.scaled_last_inv_root, q) & mask,
+        }
+        _HOST_C_NTT_CACHE[key] = t
+    return t
+
+
 def _split_words(values, dtype=np.uint32):
     a = np.asarray(values, dtype=np.uint64)
     return (a & np.uint64(0xFFFFFFFF)).astype(dtype), (a >> np.uint64(32)).astype(dtype)

@@ -36,6 +36,7 @@ class EncryptionParameters:
         self._coeff_modulus: List[Modulus] = []
         self._plain_modulus = Modulus(0)
         self._random_factory: Optional[UniformRandomGeneratorFactory] = None
+        self._noise_sampler = "cbd"
         self._parms_id = PARMS_ID_ZERO
         self._compute_parms_id()
 
@@ -59,7 +60,23 @@ class EncryptionParameters:
         self._compute_parms_id()
 
     def set_random_generator(self, factory: UniformRandomGeneratorFactory):
+        """Select the (default-)PRNG for this parameter set — the runtime
+        analog of the reference's SEAL_DEFAULT_PRNG build option
+        (CMakeLists.txt:305); the factory's ``prng_type`` picks
+        blake2xb vs SHAKE-256."""
         self._random_factory = factory
+
+    def set_noise_sampler(self, kind: str):
+        """Select the RLWE noise distribution: 'cbd' (centered binomial,
+        the reference's default) or 'gaussian' (clipped normal, sigma 3.2).
+
+        Runtime analog of the reference's SEAL_NOISE_SAMPLER /
+        SEAL_USE_GAUSSIAN_NOISE build options (CMakeLists.txt:298-303).
+        Like those, the choice does not enter the parms_id.
+        """
+        if kind not in ("cbd", "gaussian"):
+            raise ValueError("noise sampler must be 'cbd' or 'gaussian'")
+        self._noise_sampler = kind
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -83,6 +100,10 @@ class EncryptionParameters:
         return self._random_factory or UniformRandomGeneratorFactory.default_factory()
 
     @property
+    def noise_sampler(self) -> str:
+        return self._noise_sampler
+
+    @property
     def parms_id(self) -> ParmsId:
         return self._parms_id
 
@@ -92,6 +113,7 @@ class EncryptionParameters:
         p._coeff_modulus = list(self._coeff_modulus)
         p._plain_modulus = self._plain_modulus
         p._random_factory = self._random_factory
+        p._noise_sampler = self._noise_sampler
         p._compute_parms_id()
         return p
 

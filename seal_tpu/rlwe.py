@@ -19,7 +19,17 @@ from .ops import ntt as NTT
 from .ops import u64 as U
 from .random import UniformRandomGeneratorFactory, UniformRandomGeneratorInfo
 from .random.prng import PRNG_SEED_BYTE_COUNT
-from .random.sampler import sample_poly_noise, sample_poly_ternary, sample_poly_uniform
+from .random.sampler import (
+    sample_poly_cbd,
+    sample_poly_normal,
+    sample_poly_ternary,
+    sample_poly_uniform,
+)
+
+
+def _noise_sampler_for(parms):
+    """Per-parameter noise sampler (EncryptionParameters.set_noise_sampler)."""
+    return sample_poly_normal if parms.noise_sampler == "gaussian" else sample_poly_cbd
 
 
 def _stack(polys) -> U.U64:
@@ -75,7 +85,7 @@ def encrypt_zero_symmetric(
     ciphertext_prng = UniformRandomGeneratorFactory.default_factory().create(public_seed)
 
     c1_np = sample_poly_uniform(ciphertext_prng, n, moduli)
-    noise_np = sample_poly_noise(bootstrap_prng, n, moduli)
+    noise_np = _noise_sampler_for(parms)(bootstrap_prng, n, moduli)
     k = len(moduli)
 
     def body(c1_in, noise, sk_full):
@@ -148,14 +158,14 @@ def _encrypt_zero_symmetric_device(
         return None
     if not isinstance(bootstrap_prng, Blake2xbPRNG):
         return None
-    if sample_poly_noise is not sample_poly_cbd:
-        return None
 
     from .ops import blake2_dev as B
     from .ops.rns import _cshoup
 
     cd = context.get_context_data(parms_id)
     parms = cd.parms
+    if parms.noise_sampler != "cbd":
+        return None
     moduli = cd.coeff_modulus_values
     n = parms.poly_modulus_degree
     t = cd.limb_tables()
@@ -245,7 +255,8 @@ def encrypt_zero_asymmetric(
     prng = parms.random_generator.create()
 
     u_np = sample_poly_ternary(prng, n, moduli)
-    noise_np = np.stack([sample_poly_noise(prng, n, moduli) for _ in range(size)])
+    sampler = _noise_sampler_for(parms)
+    noise_np = np.stack([sampler(prng, n, moduli) for _ in range(size)])
 
     def body(u_in, noises, pk_data):
         u = NTT.ntt_forward(u_in, t)

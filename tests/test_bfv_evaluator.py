@@ -130,7 +130,7 @@ def test_batching_and_rotation():
 
     vals = list(range(64))
     p = be.encode(vals)
-    assert be.decode(p) == vals
+    np.testing.assert_array_equal(be.decode(p), vals)
 
     c = enc.encrypt(p)
     # rotate rows left by 3
@@ -139,16 +139,16 @@ def test_batching_and_rotation():
     row = vals[:32]
     want = row[3:] + row[:3]
     want2 = [v + 32 for v in want]
-    assert got == want + want2
+    np.testing.assert_array_equal(got, want + want2)
     # rotate columns
     rc = ev.rotate_columns(c, gk)
     got = be.decode(dec.decrypt(rc))
-    assert got == vals[32:] + vals[:32]
+    np.testing.assert_array_equal(got, vals[32:] + vals[:32])
     # negative rotation via NAF decomposition path
     r2 = ev.rotate_rows(c, -1, gk)
     got = be.decode(dec.decrypt(r2))
     want = [row[-1]] + row[:-1]
-    assert got == want + [v + 32 for v in want]
+    np.testing.assert_array_equal(got, want + [v + 32 for v in want])
 
 
 def test_slot_products():
@@ -162,4 +162,6 @@ def test_slot_products():
     b = list(range(2, 66))
     ca, cb = enc.encrypt(be.encode(a)), enc.encrypt(be.encode(b))
     prod = ev.relinearize(ev.multiply(ca, cb), rk)
-    assert be.decode(dec.decrypt(prod)) == [x * y for x, y in zip(a, b)]
+    np.testing.assert_array_equal(
+        be.decode(dec.decrypt(prod)), [x * y for x, y in zip(a, b)]
+    )

@@ -89,7 +89,7 @@ def test_batching_rotation(bgv):
     got = be.decode(dec.decrypt(r))
     row = vals[:32]
     want = row[5:] + row[:5]
-    assert got == want + [v + 32 for v in want]
+    np.testing.assert_array_equal(got, want + [v + 32 for v in want])
 
 
 def test_plain_ops(bgv):

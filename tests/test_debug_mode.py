@@ -55,7 +55,7 @@ def test_debug_mode_clean_roundtrip_passes():
         ct = enc.encrypt_symmetric(encoder.encode(vals))
         prod = ev.relinearize(ev.multiply(ct, ct), rk)
         got = encoder.decode(dec.decrypt(prod))
-        assert got == [v * v % t for v in vals]
+        np.testing.assert_array_equal(got, [v * v % t for v in vals])
         print("DEBUG_CLEAN_OK")
     """)
     assert out.returncode == 0, out.stderr[-2000:]

@@ -66,7 +66,7 @@ def test_batch_encoder_int64_wrap():
     vals = [-1, -2, 5, -(t // 2)]
     pt = be.encode_int64(vals)
     got = be.decode_int64(pt)
-    assert got[: len(vals)] == vals
+    np.testing.assert_array_equal(got[: len(vals)], vals)
     # unsigned view of -1 is t-1
     raw = np.asarray(be.decode(pt), dtype=np.uint64)
     assert int(raw[0]) == t - 1

@@ -69,7 +69,7 @@ def test_bfv_16384_mul_relin_roundtrip(bfv16384):
     prod = ev.relinearize(prod, rk)
     prod = ev.mod_switch_to_next(prod)
     got = encoder.decode(dec.decrypt(prod))
-    assert got == [v * v % t for v in vals]
+    np.testing.assert_array_equal(got, [v * v % t for v in vals])
     assert dec.invariant_noise_budget(prod) > 0
 
 
@@ -110,7 +110,7 @@ def test_bgv_32768_add_mul_plain_roundtrip():
     ct = enc.encrypt_symmetric(pt)
     out = ev.multiply_plain(ev.add(ct, ct), pt)
     got = encoder.decode(dec.decrypt(out))
-    assert got == [2 * v * v % t for v in vals]
+    np.testing.assert_array_equal(got, [2 * v * v % t for v in vals])
 
 
 def test_ckks_32768_encode_encrypt_roundtrip():

@@ -106,7 +106,7 @@ def test_seeded_key_roundtrips(setup):
     got = be.decode(dec.decrypt(ev.rotate_rows(ct, 1, gk2)))
     row = vals[:32]
     want = row[1:] + row[:1]
-    assert got == want + [v + 32 for v in want]
+    np.testing.assert_array_equal(got, want + [v + 32 for v in want])
 
 
 def test_zstd_default_when_available():
@@ -155,4 +155,4 @@ def test_key_roundtrips(setup):
     got = be.decode(dec2.decrypt(rot))
     row = vals[:32]
     want = row[1:] + row[:1]
-    assert got == want + [v + 32 for v in want]
+    np.testing.assert_array_equal(got, want + [v + 32 for v in want])
