@@ -48,11 +48,15 @@ def _twiddle(h: U64, t_op: U64, t_qt: U64, q: U64) -> U64:
     return U.mul_mod_shoup(h, t_op, t_qt, q)
 
 
-def dist_ntt_forward(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb") -> U64:
+def dist_ntt_forward(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb",
+                     exchange: str = "all_to_all") -> U64:
     """Forward negacyclic NTT of (k, n) u64 pairs, n1-columns sharded.
 
     ``x`` may live replicated or sharded; the result is produced with the
     same layout as the single-device kernel (bit-identical values).
+    ``exchange``: 'all_to_all' (XLA collective, default) or 'remote'
+    (Pallas make_async_remote_copy RDMA prototype, parallel/remote_ntt.py;
+    requires real multi-chip ICI).
     """
     lo, hi = x
     k, n = lo.shape
@@ -91,7 +95,12 @@ def dist_ntt_forward(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb") -> U6
             a = a.reshape(k_, P_sz, n1_ // P_sz, n2l)
             # row-block j -> device j; received column blocks stack at axis 2
             # in device order, so (device, c_local) flattens to global columns
-            a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=2, tiled=False)
+            if exchange == "remote":
+                from .remote_ntt import remote_corner_turn
+
+                a = remote_corner_turn(a, axis, P_sz)
+            else:
+                a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=2, tiled=False)
             return a.reshape(k_, n1_ // P_sz, P_sz * n2l)
 
         ht = (corner(h[0]), corner(h[1]))
@@ -103,7 +112,8 @@ def dist_ntt_forward(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb") -> U6
     return o[0].reshape(k, n), o[1].reshape(k, n)
 
 
-def dist_ntt_inverse(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb") -> U64:
+def dist_ntt_inverse(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb",
+                     exchange: str = "all_to_all") -> U64:
     """Inverse negacyclic NTT (1/n folded), mirroring the forward exchange."""
     lo, hi = x
     k, n = lo.shape
@@ -135,7 +145,14 @@ def dist_ntt_inverse(x: U64, t: MXUTables, mesh: Mesh, axis: str = "limb") -> U6
         def corner(a):
             k_, n1l, n2_ = a.shape
             a = a.reshape(k_, n1l, P_sz, n2_ // P_sz)
-            a = jax.lax.all_to_all(a, axis, split_axis=2, concat_axis=1, tiled=False)
+            if exchange == "remote":
+                from .remote_ntt import remote_corner_turn
+
+                a = remote_corner_turn(
+                    a.transpose(0, 2, 1, 3), axis, P_sz
+                ).transpose(0, 2, 1, 3)
+            else:
+                a = jax.lax.all_to_all(a, axis, split_axis=2, concat_axis=1, tiled=False)
             return a.reshape(k_, n1l * P_sz, n2_ // P_sz)
 
         ht = (corner(ht[0]), corner(ht[1]))

@@ -155,3 +155,21 @@ def test_mesh_aware_evaluator_ckks():
     rot = ev_plain.rotate_vector(ct, 1, gk)
     np.testing.assert_array_equal(np.asarray(out_sh.to_np()), np.asarray(out.to_np()))
     np.testing.assert_array_equal(np.asarray(rot_sh.to_np()), np.asarray(rot.to_np()))
+
+
+def test_batch_3axis_mesh_replicated_keys(bfv):
+    """(host x data x limb) DCN-shaped mesh with key replication: the
+    multi-host configuration of SCALING.md, bit-identical to unsharded."""
+    cts, _ = _bfv_batch(bfv, 4, seed=17)
+    hem = make_mesh(8, limb_parallel=2, hosts=2, replicate_keys=True)
+    assert hem.host_axis == "host" and hem.host_size == 2
+    assert hem.batch_size == 4 and hem.limb_size == 2
+    gk = bfv["keygen"].create_galois_keys()
+    bev = BatchEvaluator(bfv["ctx"], hem)
+    b = bev.shard(CiphertextBatch.from_ciphertexts(cts))
+    with hem.mesh:
+        out = bev.multiply(b, b)
+        rot = bev.rotate_rows(b, 1, gk)
+    for i in (0, 3):
+        _assert_ct_equal(out, i, bfv["ev"].multiply(cts[i], cts[i]))
+        _assert_ct_equal(rot, i, bfv["ev"].rotate_rows(cts[i], 1, gk))
