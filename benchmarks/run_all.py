@@ -218,21 +218,23 @@ def bench_keygen(n):
     from seal_tpu.modulus import CoeffModulus, SecurityLevel
     from seal_tpu.params import EncryptionParameters, SchemeType
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        parms = EncryptionParameters(SchemeType.CKKS)
-        parms.set_poly_modulus_degree(n)
-        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
-        ctx = SealContext(parms, True, SecurityLevel.TC128)
-        res = {}
-        res["secret"] = _wall_us(lambda: KeyGenerator(ctx), 3)
-        keygen = KeyGenerator(ctx)
-        res["public"] = _wall_us(lambda: keygen.create_public_key(), 3)
-        if ctx.using_keyswitching:
-            res["relin"] = _wall_us(lambda: keygen.create_relin_keys(), 3)
-            res["galois_one_step"] = _wall_us(
-                lambda: keygen.create_galois_keys_from_steps([1]), 3
-            )
+    # keygen itself runs on the accelerator: since round 4 the whole
+    # sampling pipeline (blake2xb expansion, rejection, CBD) is device
+    # code (ops/blake2_dev.py) — pinning it to the CPU backend (the old
+    # host-orchestrated-era setup) would bench XLA:CPU instead.
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+    ctx = SealContext(parms, True, SecurityLevel.TC128)
+    res = {}
+    res["secret"] = _wall_us(lambda: KeyGenerator(ctx), 3)
+    keygen = KeyGenerator(ctx)
+    res["public"] = _wall_us(lambda: keygen.create_public_key(), 3)
+    if ctx.using_keyswitching:
+        res["relin"] = _wall_us(lambda: keygen.create_relin_keys(), 3)
+        res["galois_one_step"] = _wall_us(
+            lambda: keygen.create_galois_keys_from_steps([1]), 3
+        )
     return res
 
 

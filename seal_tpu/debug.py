@@ -14,9 +14,10 @@ Usage at a kernel seam::
     y = ...                         # e.g. lazy NTT output, contract [0, 4q)
     debug.check_below(y, four_q, "ntt_forward_lazy output < 4q")
 
-CI runs the test battery once under SEAL_TPU_DEBUG=1 (see workflow) so a
-kernel change that breaks a range contract fails loudly instead of
-corrupting downstream Barrett reductions.
+CI runs a representative battery under SEAL_TPU_DEBUG=1 (the
+``debug-asserts`` job in .github/workflows/ci.yml) so a kernel change
+that breaks a range contract fails loudly instead of corrupting
+downstream Barrett reductions.
 
 Like the reference's SEAL_DEBUG, this is a *debug-build* feature: it needs
 a backend with host-callback support (CPU, standard TPU runtimes).  Some

@@ -31,7 +31,12 @@ USER_MOD_BIT_COUNT_MIN = 2      # 61-bit headroom is reserved for internal prime
 INTERNAL_MOD_BIT_COUNT = 61     # aux/internal RNS primes (util/defines.h:37)
 PLAIN_MOD_BIT_COUNT_MAX = 60
 PLAIN_MOD_BIT_COUNT_MIN = 2
-COEFF_MOD_COUNT_MAX = 64        # reference allows 256; 64 is ample for TPU build
+# Matches the reference (util/defines.h:48).  Every wide-chain kernel is
+# guarded for k > 64: the key-switch contraction Barrett-reduces its u128
+# accumulator every 64 lazy summands (evaluator.py), the MXU base
+# conversion chunks its contraction axis (ops/rns.py:_fbc_planes), and
+# the CRT compose provisions ceil(log2 k) extra bits (ops/crt_compose.py).
+COEFF_MOD_COUNT_MAX = 256
 COEFF_MOD_COUNT_MIN = 1
 POLY_MOD_DEGREE_MAX = 131072
 POLY_MOD_DEGREE_MIN = 2

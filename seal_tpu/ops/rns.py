@@ -196,7 +196,13 @@ def _convert_contraction_mxu(temp: U64, conv: HostBaseConverter) -> U64:
 
 
 def _convert_contraction(temp: U64, matrix: U64, oq: U64, oratio_lo: U64, oratio_hi: U64) -> U64:
-    """sum_i temp[..., i, :] * matrix[j, i] mod oq[j] with exact u128 accum."""
+    """sum_i temp[..., i, :] * matrix[j, i] mod oq[j] with exact u128 accum.
+
+    Each term is < 2^122 (61-bit operand pairs), so the accumulator is
+    Barrett-reduced every 64 summands — the u128 overflow guard that lets
+    k_in run to COEFF_MOD_COUNT_MAX = 256 (same rationale as the
+    reference's SEAL_MULTIPLY_ACCUMULATE_*_MAX, defines.h:66).
+    """
     m_lo, m_hi = matrix
     k_out, k_in = m_lo.shape
     lead = temp[0].shape[:-2]
@@ -206,6 +212,9 @@ def _convert_contraction(temp: U64, matrix: U64, oq: U64, oratio_lo: U64, oratio
         xi = (temp[0][..., i : i + 1, :], temp[1][..., i : i + 1, :])
         mi = (m_lo[:, i : i + 1], m_hi[:, i : i + 1])
         acc = U.add128(acc, U.mul64_wide(xi, mi))
+        if (i + 1) % 64 == 0 and i + 1 < k_in:
+            red = U.barrett_reduce_128(acc, oq, oratio_lo, oratio_hi)
+            acc = (red[0], red[1], jnp.zeros_like(red[0]), jnp.zeros_like(red[0]))
     return U.barrett_reduce_128(acc, oq, oratio_lo, oratio_hi)
 
 

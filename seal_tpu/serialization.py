@@ -118,16 +118,37 @@ def peek_version(data: bytes) -> Tuple[int, int]:
 
 
 def load_header_wrapped(data: bytes) -> Tuple[bytes, int]:
-    """Unwrap a SEALHeader; returns (member bytes, total size consumed)."""
+    """Unwrap a SEALHeader; returns (member bytes, total size consumed).
+
+    Mirrors the reference's automatic header upgrade
+    (``Serialization::LoadHeader`` with try_upgrade_if_invalid,
+    serialization.cpp:138-168): a 16-byte block that fails modern
+    validation is reinterpreted in the Microsoft SEAL 3.4 layout
+    (``legacy_headers::SEALHeader_3_4``, serialization.h:352-377 —
+    u16 magic, u8 zero, u8 compr_mode, u32 size, u64 reserved) and
+    accepted if valid in that form.
+    """
     if len(data) < SEAL_HEADER_SIZE:
         raise ValueError("insufficient data for SEALHeader")
     magic, hsize, vmaj, vmin, compr, _resv, size = struct.unpack_from("<HBBBBHQ", data, 0)
     if magic != SEAL_MAGIC:
         raise ValueError("invalid SEAL magic")
-    if hsize != SEAL_HEADER_SIZE:
-        raise ValueError("invalid SEALHeader size")
-    if vmaj not in (VERSION_MAJOR, 3):
-        raise ValueError("unsupported version")
+    modern = hsize == SEAL_HEADER_SIZE and vmaj in (VERSION_MAJOR, 3) and compr in (
+        COMPR_NONE, COMPR_ZLIB, COMPR_ZSTD,
+    )
+    if not modern:
+        # legacy 3.4 header (same 16 bytes, different field layout)
+        _magic34, zero, compr34, size34, _resv34 = struct.unpack_from("<HBBIQ", data, 0)
+        if (
+            zero == 0
+            and compr34 in (COMPR_NONE, COMPR_ZLIB, COMPR_ZSTD)
+            and size34 >= SEAL_HEADER_SIZE
+        ):
+            compr, size = compr34, size34
+        elif hsize != SEAL_HEADER_SIZE:
+            raise ValueError("invalid SEALHeader size")
+        else:
+            raise ValueError("unsupported version")
     if size > len(data):
         raise ValueError("truncated payload")
     payload = data[SEAL_HEADER_SIZE:size]

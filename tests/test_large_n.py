@@ -153,3 +153,55 @@ def test_ntt_large_n_roundtrip(n):
     one[:, 0] = 1
     fwd_one = U.to_np_u64(NTT.ntt_forward(U.from_np_u64(one), tables))
     assert np.all(fwd_one == 1)
+
+
+def test_ckks_65536_single_chip_roundtrip():
+    """N=65536 as a single-chip first-class size (util/defines.h:52 allows
+    N<=131072): functional encrypt -> square -> rescale -> decrypt on a
+    real (64-entry) chain prefix."""
+    from seal_tpu.ckks_encoder import CKKSEncoder
+
+    n = 65536
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [60, 40, 40, 60]))
+    ctx = SealContext(parms, True, SecurityLevel.NONE)
+    assert ctx.parameters_set, ctx.parameter_error_message()
+    kg = KeyGenerator(ctx)
+    enc = Encryptor(ctx, secret_key=kg.secret_key)
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    ce = CKKSEncoder(ctx)
+    vals = np.linspace(-1.0, 1.0, n // 2)
+    ct = enc.encrypt_symmetric(ce.encode(vals, 2.0 ** 40))
+    sq = ev.rescale_to_next(ev.multiply(ct, ct))
+    got = np.real(ce.decode(dec.decrypt(sq)))
+    assert np.max(np.abs(got - vals * vals)) < 1e-3
+
+
+@pytest.mark.parametrize("n", [65536, 131072])
+def test_ntt_htop_sizes_roundtrip(n):
+    """NTT forward->inverse identity at 65536 and the N=131072 ceiling."""
+    from seal_tpu.modulus import Modulus
+    from seal_tpu import numth
+    from seal_tpu.ntt_tables import build_limb_tables
+    from seal_tpu.ops import ntt as NTT
+    from seal_tpu.ops import u64 as U
+
+    mods = [Modulus(p) for p in numth.get_primes(2 * n, 50, 1)]
+    tables = build_limb_tables(int(n).bit_length() - 1, mods)
+    qv = np.array([m.value for m in mods], dtype=np.uint64)
+    rng = np.random.default_rng(n)
+    x = rng.integers(0, qv[:, None], (1, n), dtype=np.uint64)
+    xd = U.from_np_u64(x)
+    back = U.to_np_u64(NTT.ntt_inverse(NTT.ntt_forward(xd, tables), tables))
+    assert np.array_equal(back, x)
+
+
+def test_131072_context_validates():
+    """The N ceiling (util/defines.h:52) is accepted and builds a chain."""
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(131072)
+    parms.set_coeff_modulus(CoeffModulus.create(131072, [50, 40, 50]))
+    ctx = SealContext(parms, False, SecurityLevel.NONE)
+    assert ctx.parameters_set, ctx.parameter_error_message()

@@ -156,3 +156,41 @@ def test_key_roundtrips(setup):
     row = vals[:32]
     want = row[1:] + row[:1]
     np.testing.assert_array_equal(got, want + [v + 32 for v in want])
+
+
+def test_legacy_3_4_header_upgrade():
+    """A Microsoft SEAL 3.4 header (serialization.h:352: u16 magic, u8 zero,
+    u8 compr_mode, u32 size, u64 reserved) is auto-upgraded on load, like
+    the reference's Serialization::LoadHeader (serialization.cpp:138-168)."""
+    import struct
+
+    from seal_tpu import serialization as S
+
+    members = struct.pack("<Q", 0x1234567890ABCDEF)
+    for compr in (S.COMPR_NONE, S.COMPR_ZLIB):
+        payload = S._compress(members, compr)
+        legacy = struct.pack(
+            "<HBBIQ", S.SEAL_MAGIC, 0, compr, S.SEAL_HEADER_SIZE + len(payload), 0
+        ) + payload
+        got, consumed = S.load_header_wrapped(legacy)
+        assert got == members and consumed == len(legacy)
+        # the leaf loader accepts the legacy wrapping end to end
+        value, consumed2 = S.modulus_load(legacy)
+        assert value == 0x1234567890ABCDEF and consumed2 == len(legacy)
+
+
+def test_legacy_3_4_header_invalid_still_rejected():
+    import struct
+
+    import pytest
+
+    from seal_tpu import serialization as S
+
+    # nonzero zero_byte: neither a valid modern nor a valid 3.4 header
+    bad = struct.pack("<HBBIQ", S.SEAL_MAGIC, 7, S.COMPR_NONE, 24, 0) + b"x" * 8
+    with pytest.raises(ValueError):
+        S.load_header_wrapped(bad)
+    # legacy size pointing past the buffer
+    trunc = struct.pack("<HBBIQ", S.SEAL_MAGIC, 0, S.COMPR_NONE, 1 << 20, 0)
+    with pytest.raises(ValueError):
+        S.load_header_wrapped(trunc)
