@@ -16,6 +16,7 @@ transform in one traced computation.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Tuple
 
@@ -57,16 +58,41 @@ def _mxu_tables_for(t: LimbTables):
     return mt
 
 
+# Auto-mode threshold for the fused Pallas kernel.  16384 is the default:
+# standalone and inside the CKKS mult+relin+rescale pipeline the einsum
+# four-step wins at 8192 (measured v5e: 6667 vs 4685 pipeline ops/s), while
+# composed BEHZ graphs win with pallas already at 8192 (725 -> 634 us) —
+# those call sites opt in via ``auto_pallas_min_n``.
+_AUTO_PALLAS_MIN_N = 16384
+
+
+@contextlib.contextmanager
+def auto_pallas_min_n(n: int):
+    """Trace-time override of the auto-mode Pallas threshold.
+
+    Wrap the *invocation* of a jitted kernel (tracing happens on first
+    call) whose composed graph is known to profit from the fused kernel at
+    smaller n — e.g. the BEHZ multiply stages use ``auto_pallas_min_n(8192)``.
+    Explicit SEAL_TPU_NTT=mxu|pallas|xla still forces globally.
+    """
+    global _AUTO_PALLAS_MIN_N
+    old = _AUTO_PALLAS_MIN_N
+    _AUTO_PALLAS_MIN_N = n
+    try:
+        yield
+    finally:
+        _AUTO_PALLAS_MIN_N = old
+
+
 def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
     """Pick the NTT backend: None (XLA butterflies), 'mxu' (einsum
     four-step) or 'pallas' (fused four-step kernel, ops/pallas_mxu_ntt.py).
 
     SEAL_TPU_NTT=xla|mxu|pallas forces; 'auto' (default) uses the einsum
-    kernel on TPU for n in [2048, 8192) and the Pallas kernel for
-    n >= 8192 (measured v5e: pallas is 1.25x at 8192 standalone and a
-    clear win inside composed graphs — BEHZ multiply 725 -> 634 us —
-    1.6x at 16384, 3.1x at 32768; the fused recombine keeps the 2P-1
-    int32 digit planes out of HBM).
+    kernel on TPU for n in [2048, _AUTO_PALLAS_MIN_N) and the Pallas
+    kernel above (measured v5e: 1.6x at 16384, 3.1x at 32768; the fused
+    recombine keeps the 2P-1 int32 digit planes out of HBM).  BEHZ-shaped
+    composed graphs lower the threshold to 8192 via ``auto_pallas_min_n``.
     """
     if not t.moduli_values or (1 << t.log_n) != n:
         return None
@@ -83,7 +109,7 @@ def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
     # The Pallas kernel uses TPU memory spaces (pltpu.VMEM/SMEM) and only
     # compiles for TPU; other accelerators fall back to the portable einsum
     # formulation.
-    return "pallas" if (n >= 8192 and plat == "tpu") else "mxu"
+    return "pallas" if (n >= _AUTO_PALLAS_MIN_N and plat == "tpu") else "mxu"
 
 
 def _effective_platform() -> str:

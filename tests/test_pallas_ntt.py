@@ -92,5 +92,9 @@ def test_auto_dispatch_requires_tpu_for_pallas(monkeypatch):
     monkeypatch.setattr(NTT, "_effective_platform", lambda: "tpu")
     assert NTT._dispatch_mxu(lt16, 16384) == "pallas"
     assert NTT._dispatch_mxu(lt8, 8192) == "mxu"
+    # BEHZ-composed call sites lower the auto threshold locally
+    with NTT.auto_pallas_min_n(8192):
+        assert NTT._dispatch_mxu(lt8, 8192) == "pallas"
+    assert NTT._dispatch_mxu(lt8, 8192) == "mxu"
     monkeypatch.setattr(NTT, "_effective_platform", lambda: "cpu")
     assert NTT._dispatch_mxu(lt16, 16384) is None
