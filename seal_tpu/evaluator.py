@@ -879,9 +879,12 @@ class Evaluator:
         elif not ct.is_ntt_form and not plain.is_ntt_form:
             out = self._multiply_plain_normal(ct, plain)
         elif ct.is_ntt_form:
+            # NTT ciphertext x coeff plain: lift the plain (the reference's
+            # BGV-era branch, evaluator.cpp multiply_plain)
             out = self._multiply_plain_ntt(ct, self.transform_plain_to_ntt(plain, ct.parms_id))
         else:
-            out = self.transform_from_ntt(self._multiply_plain_ntt(self.transform_to_ntt(ct), plain))
+            # coeff ciphertext x NTT plain is an error in the reference
+            raise ValueError("NTT form mismatch")
         self._check_transparent(out)
         return out
 
