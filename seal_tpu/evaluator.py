@@ -883,8 +883,9 @@ class Evaluator:
             # BGV-era branch, evaluator.cpp multiply_plain)
             out = self._multiply_plain_ntt(ct, self.transform_plain_to_ntt(plain, ct.parms_id))
         else:
-            # coeff ciphertext x NTT plain is an error in the reference
-            raise ValueError("NTT form mismatch")
+            # coeff ciphertext x NTT plain: transform the ciphertext, multiply
+            # in NTT domain, transform back (evaluator.cpp:2006-2010)
+            out = self.transform_from_ntt(self._multiply_plain_ntt(self.transform_to_ntt(ct), plain))
         self._check_transparent(out)
         return out
 

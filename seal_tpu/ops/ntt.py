@@ -17,6 +17,7 @@ transform in one traced computation.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 from typing import Tuple
 
@@ -62,8 +63,9 @@ def _mxu_tables_for(t: LimbTables):
 # standalone and inside the CKKS mult+relin+rescale pipeline the einsum
 # four-step wins at 8192 (measured v5e: 6667 vs 4685 pipeline ops/s), while
 # composed BEHZ graphs win with pallas already at 8192 (725 -> 634 us) —
-# those call sites opt in via ``auto_pallas_min_n``.
-_AUTO_PALLAS_MIN_N = 16384
+# those call sites opt in via ``auto_pallas_min_n``.  Held in a ContextVar
+# so a concurrent trace on another thread never sees the override.
+_AUTO_PALLAS_MIN_N = contextvars.ContextVar("seal_tpu_auto_pallas_min_n", default=16384)
 
 
 @contextlib.contextmanager
@@ -73,15 +75,15 @@ def auto_pallas_min_n(n: int):
     Wrap the *invocation* of a jitted kernel (tracing happens on first
     call) whose composed graph is known to profit from the fused kernel at
     smaller n — e.g. the BEHZ multiply stages use ``auto_pallas_min_n(8192)``.
-    Explicit SEAL_TPU_NTT=mxu|pallas|xla still forces globally.
+    Explicit SEAL_TPU_NTT=mxu|pallas|xla still forces globally.  The
+    override is a ContextVar: it is scoped to the current thread/context,
+    so a concurrent trace elsewhere keeps the default threshold.
     """
-    global _AUTO_PALLAS_MIN_N
-    old = _AUTO_PALLAS_MIN_N
-    _AUTO_PALLAS_MIN_N = n
+    token = _AUTO_PALLAS_MIN_N.set(n)
     try:
         yield
     finally:
-        _AUTO_PALLAS_MIN_N = old
+        _AUTO_PALLAS_MIN_N.reset(token)
 
 
 def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
@@ -109,7 +111,7 @@ def _dispatch_mxu(t: LimbTables, n: int) -> str | None:
     # The Pallas kernel uses TPU memory spaces (pltpu.VMEM/SMEM) and only
     # compiles for TPU; other accelerators fall back to the portable einsum
     # formulation.
-    return "pallas" if (n >= _AUTO_PALLAS_MIN_N and plat == "tpu") else "mxu"
+    return "pallas" if (n >= _AUTO_PALLAS_MIN_N.get() and plat == "tpu") else "mxu"
 
 
 def _effective_platform() -> str:

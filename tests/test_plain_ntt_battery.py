@@ -181,9 +181,13 @@ def test_transform_guards(env):
     with pytest.raises(ValueError):
         ev.transform_from_ntt(ct)
     # NTT-form ct x coeff-form plain is ALLOWED (the plain is lifted — the
-    # reference's BGV-era multiply_plain branch); the reverse is an error
+    # reference's BGV-era multiply_plain branch); coeff-form ct x NTT-form
+    # plain is ALSO allowed: the reference transforms the ciphertext to NTT,
+    # multiplies, and transforms back (evaluator.cpp:2006-2010)
     out = ev.multiply_plain(ntt_ct, _pt([1, 2, 3], t))
     assert out.is_ntt_form
     p_ntt = ev.transform_plain_to_ntt(_pt([1, 2, 3], t), ct.parms_id)
-    with pytest.raises(ValueError):
-        ev.multiply_plain(ct, p_ntt)
+    out2 = ev.multiply_plain(ct, p_ntt)
+    assert not out2.is_ntt_form
+    ref = ev.multiply_plain(ct, _pt([1, 2, 3], t))
+    assert env["dec"].decrypt(out2).to_string() == env["dec"].decrypt(ref).to_string()
