@@ -59,13 +59,14 @@ def _mxu_tables_for(t: LimbTables):
     return mt
 
 
-# Auto-mode threshold for the fused Pallas kernel.  16384 is the default:
-# standalone and inside the CKKS mult+relin+rescale pipeline the einsum
-# four-step wins at 8192 (measured v5e: 6667 vs 4685 pipeline ops/s), while
-# composed BEHZ graphs win with pallas already at 8192 (725 -> 634 us) —
-# those call sites opt in via ``auto_pallas_min_n``.  Held in a ContextVar
-# so a concurrent trace on another thread never sees the override.
-_AUTO_PALLAS_MIN_N = contextvars.ContextVar("seal_tpu_auto_pallas_min_n", default=16384)
+# Auto-mode threshold for the fused Pallas kernel.  8192 is the default:
+# under hardened min-of-5 chained-slope timing the fused kernel wins both
+# standalone (18.9 vs 30.4 us, k=4 fwd) and inside the CKKS
+# mult+relin+rescale pipeline (4697 vs 3459 ops/s, v5e; the round-4
+# "pipeline regression" did not reproduce once the bench was robust to
+# tunnel jitter).  Held in a ContextVar so a concurrent trace on another
+# thread never sees a call site's override.
+_AUTO_PALLAS_MIN_N = contextvars.ContextVar("seal_tpu_auto_pallas_min_n", default=8192)
 
 
 @contextlib.contextmanager

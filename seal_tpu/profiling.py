@@ -153,6 +153,64 @@ def chained_device_time_us(step, init, lo: int = 4, hi: int = 20, repeats: int =
     return max(0.0, (t_hi - t_lo) / (hi - lo)) * 1e6
 
 
+def chained_slope_samples(
+    step,
+    init,
+    lo: int = 8,
+    hi: int = 40,
+    repeats: int = 3,
+    samples: int = 5,
+    min_signal_s: float = 0.08,
+):
+    """Several independent chained-slope measurements of per-op device time.
+
+    Same single-dispatch ``lax.fori_loop`` chaining as
+    ``chained_device_time_us``, but (a) the chain span is grown until the
+    K-dependent signal is at least ``min_signal_s`` (default 80 ms — well
+    clear of the tunnel's multi-ms dispatch jitter), and (b) ``samples``
+    fully independent slope measurements are taken back to back.  Returns
+    the list of per-op microsecond estimates; callers take ``min`` (the
+    least-congested observation — tunnel interference only ever adds
+    time) and report ``(max-min)/median`` as the spread.
+    """
+    import time as _time
+
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
+    def chain(k, carry):
+        return jax.lax.fori_loop(0, k, lambda i, c: step(c), carry)
+
+    def run(k):
+        _force_fetch(chain(k, init))
+
+    def timed(k):
+        t0 = _time.perf_counter()
+        run(k)
+        return _time.perf_counter() - t0
+
+    # Grow the span until the K-dependent signal decisively clears the
+    # dispatch jitter, then hold it fixed for every sample.
+    for _ in range(8):
+        run(lo)
+        run(hi)
+        t_lo = min(timed(lo) for _ in range(repeats))
+        t_hi = min(timed(hi) for _ in range(repeats))
+        signal = t_hi - t_lo
+        if signal >= min_signal_s or hi - lo >= 8192:
+            break
+        factor = max(2, int(min_signal_s / max(signal, 1e-3)) + 1)
+        hi = lo + min(8192, (hi - lo) * factor)
+
+    out = []
+    for _ in range(samples):
+        t_lo = min(timed(lo) for _ in range(repeats))
+        t_hi = min(timed(hi) for _ in range(repeats))
+        out.append(max(0.0, (t_hi - t_lo) / (hi - lo)) * 1e6)
+    return out
+
+
 def compile_stats(context) -> Dict[str, int]:
     """Count compiled op executables in a context's jit cache by op name."""
     stats: Dict[str, int] = {}

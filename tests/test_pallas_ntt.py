@@ -91,10 +91,12 @@ def test_auto_dispatch_requires_tpu_for_pallas(monkeypatch):
     assert NTT._dispatch_mxu(lt16, 16384) == "mxu"
     monkeypatch.setattr(NTT, "_effective_platform", lambda: "tpu")
     assert NTT._dispatch_mxu(lt16, 16384) == "pallas"
-    assert NTT._dispatch_mxu(lt8, 8192) == "mxu"
-    # BEHZ-composed call sites lower the auto threshold locally
-    with NTT.auto_pallas_min_n(8192):
-        assert NTT._dispatch_mxu(lt8, 8192) == "pallas"
-    assert NTT._dispatch_mxu(lt8, 8192) == "mxu"
+    lt4 = build_limb_tables(12, CoeffModulus.create(4096, [50, 50]))
+    assert NTT._dispatch_mxu(lt8, 8192) == "pallas"  # default threshold 8192
+    assert NTT._dispatch_mxu(lt4, 4096) == "mxu"
+    # composed call sites can lower the auto threshold locally
+    with NTT.auto_pallas_min_n(4096):
+        assert NTT._dispatch_mxu(lt4, 4096) == "pallas"
+    assert NTT._dispatch_mxu(lt4, 4096) == "mxu"
     monkeypatch.setattr(NTT, "_effective_platform", lambda: "cpu")
     assert NTT._dispatch_mxu(lt16, 16384) is None
