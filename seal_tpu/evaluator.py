@@ -542,17 +542,11 @@ class Evaluator:
         else:
             t_target = target
 
-        # Build (D, Rn, n): t_target[J] reduced mod each output modulus.
-        tt = (t_target[0][:, None, :], t_target[1][:, None, :])
-        reduced = U.barrett_reduce_64(tt, sel_q, sel_rhi)
         qv = np.array(cd.coeff_modulus_values, dtype=object)
         sel_vals = [key_moduli[i] for i in sel_idx]
         need_reduce = np.array(
             [[qj > qi for qi in sel_vals] for qj in cd.coeff_modulus_values]
-        )[:, :, None]
-        t_op = U.select64(jnp.asarray(need_reduce), reduced, tt)
-        # Batched NTT: leading axis D, limb axis Rn
-        t_op = _stage_barrier(NTT.ntt_forward(t_op, sel_tables, lazy=True))  # (D, Rn, n) < 4q
+        )
 
         # Select key columns: (D, k_key, n) -> (D, Rn, n)
         def sel(keyc):
@@ -568,36 +562,54 @@ class Evaluator:
         # batch per dispatch vs doing c0 and c1 sequentially.
         kc = (jnp.stack([kc0[0], kc1[0]]), jnp.stack([kc0[1], kc1[1]]))
 
-        # Contraction over D with 128-bit accumulation.  For 60-bit user
-        # moduli, D*4q*q < 2^128 holds up to D=64 (defines.h:66 rationale);
-        # reduce every 64 summands as a guard.
-        def contract(t_op, keyc):
-            n = t_op[0].shape[-1]
-            if debug.enabled():
-                # u128 accumulator margin (defines.h:66 rationale): 64 lazy
-                # summands of (4q)*(q) must stay below 2^128 for the largest
-                # modulus in play, or the in-loop Barrett guard is too late.
-                max_q = max(sel_vals)
-                assert min(64, D) * (4 * max_q) * max_q < (1 << 128), (
-                    "switch_key accumulator would overflow u128; "
-                    f"D={D} max_q bits={max_q.bit_length()}"
-                )
-                debug.check_below(
-                    t_op, U.add64((sel_tables.two_q_lo, sel_tables.two_q_hi),
-                                  (sel_tables.two_q_lo, sel_tables.two_q_hi)),
-                    "switch_key t_op < 4q before 128-bit accumulation",
-                )
-            acc = U.zero128((2, Rn, n))
-            for j in range(D):
-                x = (t_op[0][j], t_op[1][j])          # (Rn, n)
-                y = (keyc[0][:, j], keyc[1][:, j])    # (2, Rn, n)
-                acc = U.add128(acc, U.mul64_wide(x, y))
-                if (j + 1) % 64 == 0 and j + 1 < D:
-                    red = U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
-                    acc = (red[0], red[1], jnp.zeros_like(red[0]), jnp.zeros_like(red[0]))
-            return U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
+        n = cd.parms.poly_modulus_degree
+        if NTT._dispatch_mxu(sel_tables, n) == "pallas":
+            # Fused decompose+NTT+contract kernel with the reference's
+            # i == j diagonal fast path (ops/pallas_switch_key.py).
+            from .ops.pallas_switch_key import switch_key_contract
 
-        prod = _stage_barrier(contract(t_op, kc))  # (2, Rn, n) NTT form mod sel moduli
+            t_ntt_form = target if scheme in (SchemeType.CKKS, SchemeType.BGV) else None
+            prod = _stage_barrier(switch_key_contract(
+                t_target, t_ntt_form, kc, NTT._mxu_tables_for(sel_tables),
+                need_reduce))
+        else:
+            # Build (D, Rn, n): t_target[J] reduced mod each output modulus.
+            tt = (t_target[0][:, None, :], t_target[1][:, None, :])
+            reduced = U.barrett_reduce_64(tt, sel_q, sel_rhi)
+            t_op = U.select64(jnp.asarray(need_reduce[:, :, None]), reduced, tt)
+            # Batched NTT: leading axis D, limb axis Rn
+            t_op = _stage_barrier(NTT.ntt_forward(t_op, sel_tables, lazy=True))  # (D, Rn, n) < 4q
+
+            # Contraction over D with 128-bit accumulation.  For 60-bit user
+            # moduli, D*4q*q < 2^128 holds up to D=64 (defines.h:66 rationale);
+            # reduce every 64 summands as a guard.
+            def contract(t_op, keyc):
+                n = t_op[0].shape[-1]
+                if debug.enabled():
+                    # u128 accumulator margin (defines.h:66 rationale): 64 lazy
+                    # summands of (4q)*(q) must stay below 2^128 for the largest
+                    # modulus in play, or the in-loop Barrett guard is too late.
+                    max_q = max(sel_vals)
+                    assert min(64, D) * (4 * max_q) * max_q < (1 << 128), (
+                        "switch_key accumulator would overflow u128; "
+                        f"D={D} max_q bits={max_q.bit_length()}"
+                    )
+                    debug.check_below(
+                        t_op, U.add64((sel_tables.two_q_lo, sel_tables.two_q_hi),
+                                      (sel_tables.two_q_lo, sel_tables.two_q_hi)),
+                        "switch_key t_op < 4q before 128-bit accumulation",
+                    )
+                acc = U.zero128((2, Rn, n))
+                for j in range(D):
+                    x = (t_op[0][j], t_op[1][j])          # (Rn, n)
+                    y = (keyc[0][:, j], keyc[1][:, j])    # (2, Rn, n)
+                    acc = U.add128(acc, U.mul64_wide(x, y))
+                    if (j + 1) % 64 == 0 and j + 1 < D:
+                        red = U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
+                        acc = (red[0], red[1], jnp.zeros_like(red[0]), jnp.zeros_like(red[0]))
+                return U.barrett_reduce_128(acc, sel_q, sel_rlo, sel_rhi)
+
+            prod = _stage_barrier(contract(t_op, kc))  # (2, Rn, n) NTT form mod sel moduli
 
         # Switch the special prime away and add into ct (per component).
         qk = key_moduli[-1]
