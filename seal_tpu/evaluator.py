@@ -76,30 +76,44 @@ def _balance_correction_factors(factor1: int, factor2: int, t: int):
 
 import os as _os
 
-_STAGE_BARRIERS = _os.environ.get("SEAL_TPU_STAGE_BARRIERS", "1") not in ("", "0")
+_STAGE_BARRIERS = _os.environ.get("SEAL_TPU_STAGE_BARRIERS", "auto")
 
 
 def _stage_barrier(x):
     """Keep stage boundaries when a staged pipeline is inlined into one jit.
 
     The BEHZ multiply and the key-switch are deliberately staged into
-    separate dispatches (XLA mis-schedules the fully fused graph).  But when
-    an op is traced inside a larger jit (a fused deep circuit, vmap, or the
-    chained benchmark harness), the cached stage jits inline into one graph
-    and the pathology returns.  ``lax.optimization_barrier`` at the stage
-    seams restores the schedule without forcing dispatch boundaries.
+    separate dispatches (XLA mis-schedules the fully fused einsum-NTT
+    graph).  But when an op is traced inside a larger jit (a fused deep
+    circuit, vmap, or the chained benchmark harness), the cached stage jits
+    inline into one graph and the pathology returns.
+    ``lax.optimization_barrier`` at the stage seams restores the schedule
+    without forcing dispatch boundaries.
+
+    Default is ``auto``: barriers are DROPPED where the transforms lower
+    to opaque Pallas kernels (TPU at n >= the pallas threshold) — the
+    kernels are scheduling barriers themselves, and the explicit barrier
+    costs ~5-8% there (measured: BFV BEHZ 484 -> 462 us at n=8192).  The
+    einsum four-step path keeps them.  SEAL_TPU_STAGE_BARRIERS=1/0
+    forces globally.
 
     Applied only to tracers: on concrete arrays (the normal eager staged
     path) it would cost a full dispatch on remote backends for nothing.
     """
-    if not _STAGE_BARRIERS:
+    if _STAGE_BARRIERS in ("", "0"):
         return x
     import jax
 
     leaves = jax.tree_util.tree_leaves(x)
-    if leaves and isinstance(leaves[0], jax.core.Tracer):
-        return jax.lax.optimization_barrier(x)
-    return x
+    if not (leaves and isinstance(leaves[0], jax.core.Tracer)):
+        return x
+    if _STAGE_BARRIERS == "auto":
+        from .ops.ntt import _AUTO_PALLAS_MIN_N, _effective_platform
+
+        n = leaves[0].shape[-1] if leaves[0].ndim else 0
+        if _effective_platform() == "tpu" and n >= _AUTO_PALLAS_MIN_N.get():
+            return x
+    return jax.lax.optimization_barrier(x)
 
 
 _DBL_EPSILON = 2.220446049250313e-16  # std::numeric_limits<double>::epsilon()

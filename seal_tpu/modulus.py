@@ -28,7 +28,15 @@ MOD_BIT_COUNT_MAX = 61          # Modulus representation limit (util/defines.h:3
 MOD_BIT_COUNT_MIN = 2
 USER_MOD_BIT_COUNT_MAX = 60     # user coeff moduli (util/defines.h:40) — the
 USER_MOD_BIT_COUNT_MIN = 2      # 61-bit headroom is reserved for internal primes
-INTERNAL_MOD_BIT_COUNT = 61     # aux/internal RNS primes (util/defines.h:37)
+# Aux/internal RNS primes (BEHZ Bsk base, m_sk, gamma).  The reference uses
+# 61 bits (util/defines.h:37); here they are 60-bit: with q <= 2^60 the
+# four-step NTT's stage-B digit-plane contraction bound K*(q-1)^2 < 2^128
+# holds at K = 128, so Bsk transforms avoid the two-chunk kchunk split a
+# 61-bit modulus forces (ops/mxu_ntt.py bound check).  The Bsk/γ bases are
+# internal only — never serialized — and every BEHZ margin condition is a
+# strict inequality with >> 2^60 of slack at these sizes (the base-growth
+# check below scales with this constant).
+INTERNAL_MOD_BIT_COUNT = 60
 PLAIN_MOD_BIT_COUNT_MAX = 60
 PLAIN_MOD_BIT_COUNT_MIN = 2
 # Matches the reference (util/defines.h:48).  Every wide-chain kernel is

@@ -350,7 +350,20 @@ class HostRNSTool:
             base_B_size += 1
 
         count = base_B_size + 2  # B plus m_sk, gamma
-        primes = numth.get_primes(2 * n, INTERNAL_MOD_BIT_COUNT, count)
+        # 60-bit internal primes share the user-modulus bit range (the
+        # reference reserves 61-bit, defines.h:37; here 60-bit keeps Bsk
+        # NTTs under the stage-B digit-plane bound, see modulus.py) — so
+        # skip any prime already used by base_q or equal to t to preserve
+        # coprimality of the extended base.
+        used = set(base_q.values) | {self.t.value}
+        fetch = count
+        while True:
+            cands = [p for p in numth.get_primes(2 * n, INTERNAL_MOD_BIT_COUNT, fetch)
+                     if p not in used]
+            if len(cands) >= count:
+                primes = cands[:count]
+                break
+            fetch += count + len(used)
         self.m_sk = Modulus(primes[0])
         self.gamma = Modulus(primes[1])
         base_B_primes = [Modulus(p) for p in primes[2:]]
