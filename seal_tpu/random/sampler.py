@@ -112,5 +112,49 @@ def sample_poly_uniform(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
     return dest
 
 
+def _sample_poly_uniform_legacy(prng, n, moduli, shift_a, shift_b, max_random):
+    """Common engine for the SEAL 3.4 / 3.5 legacy uniform samplers.
+
+    Both legacy variants (rlwe.cpp:134-188) draw through the 32-bit
+    ``RandomToStandardAdapter`` engine — two engine() words per attempt,
+    combined as ``(a << shift_a) | (b >> shift_b)`` — with inline rejection:
+    a rejected attempt immediately redraws two more words for the SAME
+    coefficient before the scan advances.  That means the accepted attempts,
+    in stream order, ARE the coefficients in order; we exploit this to
+    vectorize: draw attempt batches, keep the accepted ones, top up until a
+    limb has n values.  Byte consumption is identical to the reference's
+    scalar loop (each attempt is exactly 8 stream bytes, in the same order).
+    """
+    k = len(moduli)
+    dest = np.zeros((k, n), dtype=np.uint64)
+    for j, q in enumerate(moduli):
+        max_multiple = max_random - (max_random % q) - 1
+        accepted = np.zeros(0, dtype=np.uint64)
+        need = n
+        while need > 0:
+            words = np.frombuffer(prng.generate(8 * need), dtype="<u4").astype(np.uint64)
+            a, b = words[0::2], words[1::2]
+            rand = (a << np.uint64(shift_a)) | (b >> np.uint64(shift_b))
+            ok = rand < np.uint64(max_multiple)
+            accepted = np.concatenate([accepted, rand[ok]])
+            need = n - len(accepted)
+        dest[j] = accepted % np.uint64(q)
+    return dest
+
+
+def sample_poly_uniform_seal_3_4(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
+    """Uniform sampler byte-compatible with Microsoft SEAL 3.4 seeded
+    ciphertexts: rand = (engine() << 31) | (engine() >> 1), 63-bit range
+    (rlwe.cpp:137-163)."""
+    return _sample_poly_uniform_legacy(prng, n, moduli, 31, 1, (1 << 63) - 1)
+
+
+def sample_poly_uniform_seal_3_5(prng, n: int, moduli: Sequence[int]) -> np.ndarray:
+    """Uniform sampler byte-compatible with Microsoft SEAL 3.5 seeded
+    ciphertexts: rand = (engine() << 32) | engine(), full 64-bit range
+    (rlwe.cpp:165-188)."""
+    return _sample_poly_uniform_legacy(prng, n, moduli, 32, 0, (1 << 64) - 1)
+
+
 # Default noise sampler selection (reference CMake SEAL_NOISE_SAMPLER: CBD).
 sample_poly_noise = sample_poly_cbd

@@ -110,10 +110,23 @@ def save_header_wrapped(members: bytes, compr_mode: int = None) -> bytes:
 
 
 def peek_version(data: bytes) -> Tuple[int, int]:
-    """(major, minor) of a serialized blob's SEALHeader."""
+    """(major, minor) of a serialized blob's SEALHeader.
+
+    A 16-byte block that fails modern field validation but parses in the
+    Microsoft SEAL 3.4 legacy layout is reported as version (3, 4) — the
+    reference does the same on header upgrade (serialization.cpp:138-168;
+    legacy headers carry no version field, so 3.4 is implied).
+    """
     if len(data) < SEAL_HEADER_SIZE:
         raise ValueError("insufficient data for SEALHeader")
-    _, _, vmaj, vmin, _, _, _ = struct.unpack_from("<HBBBBHQ", data, 0)
+    _, hsize, vmaj, vmin, compr, _, _ = struct.unpack_from("<HBBBBHQ", data, 0)
+    modern = hsize == SEAL_HEADER_SIZE and vmaj in (VERSION_MAJOR, 3) and compr in (
+        COMPR_NONE, COMPR_ZLIB, COMPR_ZSTD,
+    )
+    if not modern:
+        _magic34, zero, compr34, size34, _resv34 = struct.unpack_from("<HBBIQ", data, 0)
+        if zero == 0 and compr34 in (COMPR_NONE, COMPR_ZLIB, COMPR_ZSTD) and size34 >= SEAL_HEADER_SIZE:
+            return 3, 4
     return vmaj, vmin
 
 
@@ -312,10 +325,14 @@ def ciphertext_load(data: bytes, context):
     from .ops import ntt as NTT
     from .ops import u64 as U
     from .random import UniformRandomGeneratorInfo
-    from .random.sampler import sample_poly_uniform
+    from .random.sampler import (
+        sample_poly_uniform,
+        sample_poly_uniform_seal_3_4,
+        sample_poly_uniform_seal_3_5,
+    )
     from .valcheck import is_metadata_valid_ct
 
-    vmaj, _ = peek_version(data)
+    vmaj, vmin = peek_version(data)
     members, consumed = load_header_wrapped(data)
     off = 0
     parms_id = tuple(struct.unpack_from("<4Q", members, off))
@@ -358,8 +375,19 @@ def ciphertext_load(data: bytes, context):
         # c1 is the raw uniform stream regardless of NTT form: the reference
         # samples a directly in whatever form the ciphertext is in
         # (rlwe.cpp:310-330 — "sampled directly in NTT form"), so expansion
-        # never applies a transform.
-        c1 = sample_poly_uniform(prng, degree, cd.coeff_modulus_values)
+        # never applies a transform.  The sampler variant follows the blob's
+        # serialization version (ciphertext.cpp:118-151 expand_seed): 3.4 and
+        # 3.5 blobs used different engine()-word bit packings.
+        if vmaj == 4 or (vmaj == 3 and vmin >= 6):
+            expand = sample_poly_uniform
+        elif (vmaj, vmin) == (3, 4):
+            expand = sample_poly_uniform_seal_3_4
+        elif (vmaj, vmin) == (3, 5):
+            expand = sample_poly_uniform_seal_3_5
+        else:
+            # prior to 3.4, AES-128 was used — incompatible (ciphertext.cpp:146-150)
+            raise ValueError("incompatible version")
+        c1 = expand(prng, degree, cd.coeff_modulus_values)
         c1_dev = U.from_np_u64(c1)
         full = np.stack([arr.reshape(k, degree), np.zeros((k, degree), np.uint64)])
         dev = U.from_np_u64(full)

@@ -22,4 +22,8 @@ g++ -std=c++17 -O2 \
 g++ -std=c++17 -O2 \
   -I"$REF/native/src" -I"$BUILD/native/src" \
   "$HERE/verify_blobs.cpp" "$BUILD/lib/libseal-4.4.a" $LIBS -o /tmp/wire_compat/verify_blobs
-echo built: /tmp/wire_compat/gen_blobs /tmp/wire_compat/verify_blobs
+g++ -std=c++17 -O2 \
+  -I"$REF/native/src" -I"$BUILD/native/src" \
+  "$HERE/gen_legacy_sampler_vectors.cpp" "$BUILD/lib/libseal-4.4.a" $LIBS \
+  -o /tmp/wire_compat/gen_legacy_sampler_vectors
+echo built: /tmp/wire_compat/gen_blobs /tmp/wire_compat/verify_blobs /tmp/wire_compat/gen_legacy_sampler_vectors
