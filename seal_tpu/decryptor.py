@@ -51,20 +51,18 @@ class Decryptor:
             self._sk_array.append(mul(self._sk_array[-1], self._sk_array[0]))
         return self._sk_array[power - 1]
 
-    def _dot_product_ct_sk(self, ct: Ciphertext) -> U.U64:
-        """c0 + c1*s + ... in the ciphertext's (NTT or coeff) domain."""
-        import jax
+    def _sk_stack(self, size: int):
         import jax.numpy as jnp
 
-        cd = self.context.get_context_data(ct.parms_id)
-        k = ct.coeff_modulus_size
-        size = ct.size
-        is_ntt = ct.is_ntt_form
         self._secret_key_power(size - 1)
-        sk_stack = (
+        return (
             jnp.stack([p[0] for p in self._sk_array[: size - 1]]),
             jnp.stack([p[1] for p in self._sk_array[: size - 1]]),
         )
+
+    def _dot_body(self, cd, size: int, is_ntt: bool, k: int):
+        """(data, sk_stack) -> c0 + c1*s + ... in the ciphertext's domain —
+        the traced core shared by single and batched decryption."""
 
         def body(data, sks):
             t = cd.limb_tables()
@@ -80,11 +78,20 @@ class Decryptor:
                 acc = NTT.ntt_inverse(acc, t)
             return U.add_mod(acc, (data[0][0], data[1][0]), t.q)
 
+        return body
+
+    def _dot_product_ct_sk(self, ct: Ciphertext) -> U.U64:
+        """c0 + c1*s + ... in the ciphertext's (NTT or coeff) domain."""
+        import jax
+
+        cd = self.context.get_context_data(ct.parms_id)
+        size = ct.size
+        sk_stack = self._sk_stack(size)
         cache = self.context._jit_cache
-        key = ("dot_ct_sk", ct.parms_id, size, is_ntt)
+        key = ("dot_ct_sk", ct.parms_id, size, ct.is_ntt_form)
         fn = cache.get(key)
         if fn is None:
-            fn = jax.jit(body)
+            fn = jax.jit(self._dot_body(cd, size, ct.is_ntt_form, ct.coeff_modulus_size))
             cache[key] = fn
         return fn(ct.data, sk_stack)
 
@@ -147,6 +154,69 @@ class Decryptor:
         sig = np.nonzero(coeffs)[0]
         count = int(sig[-1]) + 1 if len(sig) else 1
         return Plaintext.from_coeffs(coeffs[:count])
+
+    def decrypt_batch(self, batch) -> List[Plaintext]:
+        """Batched decrypt over a ``CiphertextBatch`` (parallel.batch): ONE
+        vmapped dispatch for the dot product + scheme tail, ONE device fetch
+        for the whole batch.  Results are identical to mapping ``decrypt``
+        over ``batch[i]`` (tests/test_batch_surface.py)."""
+        import jax
+
+        if batch.size < 2:
+            raise ValueError("encrypted is empty")
+        scheme = self.context.first_context_data().parms.scheme
+        cd = self.context.get_context_data(batch.parms_id)
+        k = len(cd.parms.coeff_modulus)
+        size = batch.size
+        is_ntt = batch.is_ntt_form
+        if scheme == SchemeType.BFV and is_ntt:
+            raise ValueError("encrypted cannot be in NTT form")
+        if scheme in (SchemeType.CKKS, SchemeType.BGV) and not is_ntt:
+            raise ValueError("encrypted must be in NTT form")
+
+        dot = self._dot_body(cd, size, is_ntt, k)
+        if scheme == SchemeType.BFV:
+            tail = lambda p: R.decrypt_scale_and_round(p, cd.rns_tool)
+        elif scheme == SchemeType.BGV:
+            tail = lambda p: R.decrypt_modt(NTT.ntt_inverse(p, cd.limb_tables()), cd.rns_tool)
+        else:
+            tail = lambda p: p
+
+        cache = self.context._jit_cache
+        key = ("dec_batch", batch.parms_id, size, is_ntt, scheme)
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda d, sks: jax.vmap(lambda x: tail(dot(x, sks)))(d)
+            )
+            cache[key] = fn
+        out = fn(batch.data, self._sk_stack(size))
+
+        if scheme == SchemeType.CKKS:
+            plains = []
+            for i in range(batch.batch_size):
+                p = Plaintext()
+                p.parms_id = batch.parms_id
+                p.scale = batch.scale
+                p.rns_data = (out[0][i], out[1][i])
+                plains.append(p)
+            return plains
+
+        coeffs_all = U.to_np_u64(out)[:, 0, :]  # (B, n)
+        tv = cd.parms.plain_modulus.value
+        plains = []
+        for i in range(batch.batch_size):
+            coeffs = coeffs_all[i]
+            if scheme == SchemeType.BGV and batch.correction_factor != 1:
+                fix = numth.invert_mod(batch.correction_factor, tv)
+                if tv.bit_length() + fix.bit_length() <= 64:
+                    coeffs = coeffs * np.uint64(fix) % np.uint64(tv)
+                else:
+                    coeffs = np.array([int(c) * fix % tv for c in coeffs], dtype=np.uint64)
+            sig = np.nonzero(coeffs)[0]
+            count = int(sig[-1]) + 1 if len(sig) else 1
+            plains.append(Plaintext.from_coeffs(coeffs[:count]))
+        return plains
 
     def invariant_noise_budget(self, ct: Ciphertext) -> int:
         """Remaining noise budget in bits (BFV/BGV; decryptor.cpp:409-486)."""

@@ -445,9 +445,25 @@ class BatchEvaluator:
         return self._rotate_internal(batch, steps, galois_keys)
 
     def multiply_plain(self, batch: CiphertextBatch, plain: Plaintext) -> CiphertextBatch:
-        """NTT-form plaintext dyadic multiply over the batch."""
-        if not (batch.is_ntt_form and plain.is_ntt_form):
-            raise ValueError("batched multiply_plain requires NTT forms")
+        """Full multiply_plain dispatch over the batch, mirroring
+        Evaluator.multiply_plain (evaluator.cpp:1975-2194): dyadic NTT fast
+        path, coefficient-domain path (incl. monomial fast path), and the
+        two mixed-form transform branches."""
+        if batch.is_ntt_form and plain.is_ntt_form:
+            return self._multiply_plain_ntt(batch, plain)
+        if not batch.is_ntt_form and not plain.is_ntt_form:
+            return self._multiply_plain_normal(batch, plain)
+        if batch.is_ntt_form:
+            # NTT ciphertext x coeff plain: lift the plain once for the batch
+            return self._multiply_plain_ntt(
+                batch, self.ev.transform_plain_to_ntt(plain, batch.parms_id)
+            )
+        # coeff ciphertext x NTT plain (evaluator.cpp:2006-2010)
+        return self.transform_from_ntt(
+            self._multiply_plain_ntt(self.transform_to_ntt(batch), plain)
+        )
+
+    def _multiply_plain_ntt(self, batch: CiphertextBatch, plain: Plaintext) -> CiphertextBatch:
         if batch.parms_id != plain.parms_id:
             raise ValueError("parameter mismatch")
         cd = self.context.get_context_data(batch.parms_id)
@@ -472,3 +488,196 @@ class BatchEvaluator:
             fn(batch.data, plain.rns_data[0], plain.rns_data[1]),
             batch.parms_id, batch.is_ntt_form, out_scale, batch.correction_factor,
         )
+
+    def _multiply_plain_normal(self, batch: CiphertextBatch, plain: Plaintext) -> CiphertextBatch:
+        """Coefficient-domain multiply_plain over the batch
+        (multiply_plain_normal, evaluator.cpp:2021-2155): the plaintext
+        lift/monomial precompute happens ONCE host-side for the whole batch;
+        only the per-ciphertext kernels are vmapped."""
+        from ..encryptor import bgv_lift_plain
+        from ..ops import u64 as U
+
+        cd = self.context.get_context_data(batch.parms_id)
+        thr = cd.plain_upper_half_threshold
+        sig = plain.significant_coeff_count()
+        nonzero = int(np.count_nonzero(plain.coeff_data))
+
+        if nonzero == 1:
+            # Monomial fast path (evaluator.cpp:2048-2096; same documented
+            # timing dependence on the plaintext structure as the reference).
+            exp = sig - 1
+            coeff = int(plain.coeff_data[exp])
+            qv = cd.coeff_modulus_values
+            if coeff >= thr:
+                if not cd.qualifiers.using_fast_plain_lift:
+                    lifted_c = coeff + (cd.total_coeff_modulus - cd.parms.plain_modulus.value)
+                    mono = [lifted_c % q for q in qv]
+                else:
+                    mono = [(coeff + inc) % q for q, inc in zip(qv, cd.plain_upper_half_increment)]
+            else:
+                mono = [coeff % q for q in qv]
+
+            def mono_single(d, mono_lo, mono_hi):
+                tt = cd.limb_tables()
+                scaled = U.mul_mod(
+                    d, (mono_lo[None], mono_hi[None]), (tt.q_lo[None], tt.q_hi[None]),
+                    (tt.ratio_lo_lo[None], tt.ratio_lo_hi[None]),
+                    (tt.ratio_hi_lo[None], tt.ratio_hi_hi[None]),
+                )
+                return P_ops.negacyclic_shift(scaled, exp, (tt.q_lo[None], tt.q_hi[None]))
+
+            fn = self._jit(
+                ("batch_mul_plain_mono", batch.parms_id, batch.size, exp),
+                lambda d, ml, mh: jax.vmap(mono_single, in_axes=(0, None, None))(d, ml, mh),
+            )
+            from ..ops.rns import _c
+
+            mono_c = _c(mono)  # (k, 1) constant pair, as Evaluator does
+            out_data = fn(batch.data, mono_c[0], mono_c[1])
+        else:
+            lifted = bgv_lift_plain(plain, cd)  # (k, n) NTT form, shared
+
+            def gen_single(d, p):
+                tt = cd.limb_tables()
+                polys = []
+                for j in range(d[0].shape[0]):
+                    pj = NTT.ntt_forward((d[0][j], d[1][j]), tt, lazy=True)
+                    pj = U.mul_mod(pj, p, tt.q, tt.ratio_lo, tt.ratio_hi)
+                    polys.append(NTT.ntt_inverse(pj, tt))
+                return _stack_polys(polys)
+
+            fn = self._jit(
+                ("batch_mul_plain_normal", batch.parms_id, batch.size),
+                lambda d, p: jax.vmap(gen_single, in_axes=(0, None))(d, p),
+            )
+            out_data = fn(batch.data, lifted)
+        out_scale = batch.scale * plain.scale
+        if not _is_scale_within_bounds(out_scale, cd):
+            raise ValueError("scale out of bounds")
+        return CiphertextBatch(
+            out_data, batch.parms_id, batch.is_ntt_form, out_scale, batch.correction_factor
+        )
+
+    # -- plaintext add/sub -------------------------------------------------
+    def add_plain(self, batch: CiphertextBatch, plain: Plaintext) -> CiphertextBatch:
+        return self._add_sub_plain(batch, plain, True)
+
+    def sub_plain(self, batch: CiphertextBatch, plain: Plaintext) -> CiphertextBatch:
+        return self._add_sub_plain(batch, plain, False)
+
+    def _add_sub_plain(self, batch: CiphertextBatch, plain: Plaintext, is_add: bool) -> CiphertextBatch:
+        """Batched add_plain/sub_plain (evaluator.cpp:1759-1974): the
+        plaintext-derived (k, n) term — Delta*m + fix for BFV, the NTT form
+        for CKKS, the correction-scaled lift for BGV — is computed once and
+        vmapped into every c0."""
+        from ..encryptor import bgv_lift_plain, multiply_add_plain_with_scaling_variant
+        from ..ops import u64 as U
+
+        cd = self.context.get_context_data(batch.parms_id)
+        scheme = cd.parms.scheme
+        k = len(cd.parms.coeff_modulus)
+        n = cd.parms.poly_modulus_degree
+
+        if scheme == SchemeType.BFV:
+            if batch.is_ntt_form or plain.is_ntt_form:
+                raise ValueError("BFV operands cannot be in NTT form")
+            zeros = U.from_np_u64(np.zeros((k, n), dtype=np.uint64))
+            term = multiply_add_plain_with_scaling_variant(plain, cd, zeros)
+        elif scheme == SchemeType.CKKS:
+            if not batch.is_ntt_form or not plain.is_ntt_form:
+                raise ValueError("CKKS operands must be in NTT form")
+            if batch.parms_id != plain.parms_id:
+                raise ValueError("encrypted and plain parameter mismatch")
+            if not are_same_scale(batch.scale, plain.scale):
+                raise ValueError("scale mismatch")
+            term = plain.rns_data
+        elif scheme == SchemeType.BGV:
+            if not batch.is_ntt_form:
+                raise ValueError("BGV encrypted must be in NTT form")
+            if plain.is_ntt_form:
+                raise ValueError("BGV plain cannot be in NTT form")
+            tv = cd.parms.plain_modulus.value
+            scaled = plain.copy()
+            scaled.coeff_data = np.array(
+                [int(c) * batch.correction_factor % tv for c in plain.coeff_data],
+                dtype=np.uint64,
+            )
+            term = bgv_lift_plain(scaled, cd)
+        else:
+            raise ValueError("unsupported scheme")
+
+        def single(d, t0, t1):
+            t = cd.limb_tables()
+            op = U.add_mod if is_add else U.sub_mod
+            c0 = op((d[0][0], d[1][0]), (t0, t1), t.q)
+            return (d[0].at[0].set(c0[0]), d[1].at[0].set(c0[1]))
+
+        fn = self._jit(
+            ("batch_add_sub_plain", batch.parms_id, batch.size, is_add),
+            lambda d, t0, t1: jax.vmap(single, in_axes=(0, None, None))(d, t0, t1),
+        )
+        return CiphertextBatch(
+            fn(batch.data, term[0], term[1]),
+            batch.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor,
+        )
+
+    # -- NTT transforms ----------------------------------------------------
+    def transform_to_ntt(self, batch: CiphertextBatch) -> CiphertextBatch:
+        if batch.is_ntt_form:
+            raise ValueError("encrypted is already in NTT form")
+        cd = self.context.get_context_data(batch.parms_id)
+        fn = self._jit(
+            ("batch_to_ntt", batch.parms_id, batch.size),
+            lambda d: jax.vmap(lambda x: NTT.ntt_forward(x, cd.limb_tables()))(d),
+        )
+        return CiphertextBatch(
+            fn(batch.data), batch.parms_id, True, batch.scale, batch.correction_factor
+        )
+
+    def transform_from_ntt(self, batch: CiphertextBatch) -> CiphertextBatch:
+        if not batch.is_ntt_form:
+            raise ValueError("encrypted is not in NTT form")
+        cd = self.context.get_context_data(batch.parms_id)
+        fn = self._jit(
+            ("batch_from_ntt", batch.parms_id, batch.size),
+            lambda d: jax.vmap(lambda x: NTT.ntt_inverse(x, cd.limb_tables()))(d),
+        )
+        return CiphertextBatch(
+            fn(batch.data), batch.parms_id, False, batch.scale, batch.correction_factor
+        )
+
+    # -- level management --------------------------------------------------
+    def mod_reduce_to_next(self, batch: CiphertextBatch) -> CiphertextBatch:
+        """Drop-variant modulus reduction for any scheme
+        (mod_reduce_to_next, evaluator.cpp:1597-1648): pure limb truncation."""
+        cd = self.context.get_context_data(batch.parms_id)
+        next_cd = cd.next_context_data
+        if next_cd is None:
+            raise ValueError("end of modulus switching chain reached")
+        if cd.parms.scheme == SchemeType.CKKS and not _is_scale_within_bounds(batch.scale, next_cd):
+            raise ValueError("scale out of bounds")
+        k_next = len(next_cd.parms.coeff_modulus)
+        return CiphertextBatch(
+            (batch.data[0][:, :, :k_next, :], batch.data[1][:, :, :k_next, :]),
+            next_cd.parms_id, batch.is_ntt_form, batch.scale, batch.correction_factor,
+        )
+
+    def multiply_many(self, batches: Sequence[CiphertextBatch], relin_keys: RelinKeys) -> CiphertextBatch:
+        """Binary-tree product over batches (BFV/BGV only;
+        evaluator.cpp:1649-1724), relinearizing after each level."""
+        if not batches:
+            raise ValueError("encrypteds cannot be empty")
+        scheme = self.context.first_context_data().parms.scheme
+        if scheme not in (SchemeType.BFV, SchemeType.BGV):
+            raise ValueError("unsupported scheme")
+        if len(batches) == 1:
+            return batches[0]
+        queue = list(batches)
+        while len(queue) > 1:
+            nxt = []
+            for i in range(0, len(queue) - 1, 2):
+                nxt.append(self.relinearize(self.multiply(queue[i], queue[i + 1]), relin_keys))
+            if len(queue) % 2:
+                nxt.append(queue[-1])
+            queue = nxt
+        return queue[0]

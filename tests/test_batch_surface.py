@@ -173,3 +173,157 @@ def test_batch_3axis_mesh_replicated_keys(bfv):
     for i in (0, 3):
         _assert_ct_equal(out, i, bfv["ev"].multiply(cts[i], cts[i]))
         _assert_ct_equal(rot, i, bfv["ev"].rotate_rows(cts[i], 1, gk))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 surface completion: plain ops, transforms, mod_reduce,
+# multiply_many, batched decrypt (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+
+from seal_tpu.data import Plaintext
+
+
+def test_batch_add_sub_plain_bfv(bfv):
+    cts, _ = _bfv_batch(bfv, 3, seed=29)
+    rng = np.random.default_rng(31)
+    t = bfv["ctx"].first_context_data().parms.plain_modulus.value
+    plain = bfv["be"].encode(rng.integers(0, t, N, dtype=np.uint64))
+    bev = BatchEvaluator(bfv["ctx"])
+    b = CiphertextBatch.from_ciphertexts(cts)
+    out = bev.add_plain(b, plain)
+    for i in range(3):
+        _assert_ct_equal(out, i, bfv["ev"].add_plain(cts[i], plain))
+    out = bev.sub_plain(b, plain)
+    for i in range(3):
+        _assert_ct_equal(out, i, bfv["ev"].sub_plain(cts[i], plain))
+
+
+def test_batch_multiply_plain_coeff_general(bfv):
+    cts, _ = _bfv_batch(bfv, 3, seed=37)
+    rng = np.random.default_rng(41)
+    t = bfv["ctx"].first_context_data().parms.plain_modulus.value
+    plain = bfv["be"].encode(rng.integers(0, t, N, dtype=np.uint64))
+    bev = BatchEvaluator(bfv["ctx"])
+    b = CiphertextBatch.from_ciphertexts(cts)
+    out = bev.multiply_plain(b, plain)
+    for i in range(3):
+        _assert_ct_equal(out, i, bfv["ev"].multiply_plain(cts[i], plain))
+
+
+def test_batch_multiply_plain_monomial(bfv):
+    cts, _ = _bfv_batch(bfv, 3, seed=43)
+    plain = Plaintext.from_hex("5x^7")
+    bev = BatchEvaluator(bfv["ctx"])
+    b = CiphertextBatch.from_ciphertexts(cts)
+    out = bev.multiply_plain(b, plain)
+    for i in range(3):
+        _assert_ct_equal(out, i, bfv["ev"].multiply_plain(cts[i], plain))
+
+
+def test_batch_transform_ntt_roundtrip(bfv):
+    cts, _ = _bfv_batch(bfv, 3, seed=47)
+    bev = BatchEvaluator(bfv["ctx"])
+    b = CiphertextBatch.from_ciphertexts(cts)
+    fwd = bev.transform_to_ntt(b)
+    assert fwd.is_ntt_form
+    for i in range(3):
+        _assert_ct_equal(fwd, i, bfv["ev"].transform_to_ntt(cts[i]))
+    back = bev.transform_from_ntt(fwd)
+    for i in range(3):
+        _assert_ct_equal(back, i, cts[i])
+
+
+def test_batch_multiply_plain_coeff_ct_ntt_plain(bfv):
+    """coeff-form batch x NTT plaintext: the transform-multiply-transform
+    branch (evaluator.cpp:2006-2010), batched."""
+    cts, _ = _bfv_batch(bfv, 2, seed=53)
+    rng = np.random.default_rng(59)
+    t = bfv["ctx"].first_context_data().parms.plain_modulus.value
+    plain = bfv["be"].encode(rng.integers(0, t, N, dtype=np.uint64))
+    plain_ntt = bfv["ev"].transform_plain_to_ntt(plain, cts[0].parms_id)
+    bev = BatchEvaluator(bfv["ctx"])
+    b = CiphertextBatch.from_ciphertexts(cts)
+    out = bev.multiply_plain(b, plain_ntt)
+    for i in range(2):
+        _assert_ct_equal(out, i, bfv["ev"].multiply_plain(cts[i], plain_ntt))
+
+
+def test_batch_mod_reduce(bfv):
+    cts, _ = _bfv_batch(bfv, 3, seed=61)
+    bev = BatchEvaluator(bfv["ctx"])
+    b = CiphertextBatch.from_ciphertexts(cts)
+    out = bev.mod_reduce_to_next(b)
+    for i in range(3):
+        _assert_ct_equal(out, i, bfv["ev"].mod_reduce_to_next(cts[i]))
+
+
+def test_batch_multiply_many(bfv):
+    cts_a, _ = _bfv_batch(bfv, 2, seed=67)
+    cts_b, _ = _bfv_batch(bfv, 2, seed=71)
+    cts_c, _ = _bfv_batch(bfv, 2, seed=73)
+    rk = bfv["keygen"].create_relin_keys()
+    bev = BatchEvaluator(bfv["ctx"])
+    batches = [CiphertextBatch.from_ciphertexts(c) for c in (cts_a, cts_b, cts_c)]
+    out = bev.multiply_many(batches, rk)
+    for i in range(2):
+        single = bfv["ev"].multiply_many([cts_a[i], cts_b[i], cts_c[i]], rk)
+        _assert_ct_equal(out, i, single)
+
+
+def test_batch_decrypt_bfv(bfv):
+    cts, vals = _bfv_batch(bfv, 4, seed=79)
+    b = CiphertextBatch.from_ciphertexts(cts)
+    plains = bfv["dec"].decrypt_batch(b)
+    for i in range(4):
+        single = bfv["dec"].decrypt(cts[i])
+        np.testing.assert_array_equal(plains[i].coeff_data, single.coeff_data)
+        np.testing.assert_array_equal(bfv["be"].decode(plains[i]), vals[i])
+
+
+def test_batch_plain_ops_sharded(bfv):
+    """New plain ops bit-identical under the 8-device mesh."""
+    cts, _ = _bfv_batch(bfv, 8, seed=83)
+    rng = np.random.default_rng(89)
+    t = bfv["ctx"].first_context_data().parms.plain_modulus.value
+    plain = bfv["be"].encode(rng.integers(0, t, N, dtype=np.uint64))
+    hem = make_mesh(8, limb_parallel=2)
+    bev = BatchEvaluator(bfv["ctx"], hem)
+    b = bev.shard(CiphertextBatch.from_ciphertexts(cts))
+    with hem.mesh:
+        out_add = bev.add_plain(b, plain)
+        out_mul = bev.multiply_plain(b, plain)
+    for i in (0, 7):
+        _assert_ct_equal(out_add, i, bfv["ev"].add_plain(cts[i], plain))
+        _assert_ct_equal(out_mul, i, bfv["ev"].multiply_plain(cts[i], plain))
+
+
+def test_batch_ckks_plain_ops_and_decrypt():
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(N)
+    parms.set_coeff_modulus(CoeffModulus.create(N, [40, 30, 30, 40]))
+    ctx = SealContext(parms, True, SecurityLevel.NONE)
+    keygen = KeyGenerator(ctx)
+    enc = Encryptor(ctx, secret_key=keygen.secret_key)
+    dec = Decryptor(ctx, keygen.secret_key)
+    ev = Evaluator(ctx)
+    encoder = CKKSEncoder(ctx)
+    rng = np.random.default_rng(97)
+    scale = 2.0**30
+    vals = [rng.uniform(-1, 1, N // 2) for _ in range(3)]
+    cts = [enc.encrypt_symmetric(encoder.encode(v, scale)) for v in vals]
+    pv = rng.uniform(-1, 1, N // 2)
+    plain = encoder.encode(pv, scale)
+
+    bev = BatchEvaluator(ctx)
+    b = CiphertextBatch.from_ciphertexts(cts)
+    out = bev.add_plain(b, plain)
+    for i in range(3):
+        np.testing.assert_array_equal(out[i].to_np(), ev.add_plain(cts[i], plain).to_np())
+    out = bev.sub_plain(b, plain)
+    for i in range(3):
+        np.testing.assert_array_equal(out[i].to_np(), ev.sub_plain(cts[i], plain).to_np())
+
+    plains = dec.decrypt_batch(b)
+    for i in range(3):
+        got = encoder.decode(plains[i])
+        np.testing.assert_allclose(got.real[: N // 2], vals[i], atol=1e-4)
