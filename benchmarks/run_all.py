@@ -59,9 +59,16 @@ def bench_scheme(scheme_name, n, chain_lo, chain_hi):
         parms.set_poly_modulus_degree(n)
         if scheme != SchemeType.CKKS:
             parms.set_plain_modulus(PlainModulus.batching(n, 20).value)
-        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+        if n <= 32768:
+            parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+            sec = SecurityLevel.TC128
+        else:
+            # beyond the HE-standard tables (N <= 32768); the reference also
+            # requires sec_level none there (defines.h:52 + hestdparms.h)
+            parms.set_coeff_modulus(CoeffModulus.create(n, [60, 40, 40, 60]))
+            sec = SecurityLevel.NONE
         parms.set_random_generator(UniformRandomGeneratorFactory(PRNGType.BLAKE2XB, tuple(range(8))))
-        ctx = SealContext(parms, True, SecurityLevel.TC128)
+        ctx = SealContext(parms, True, sec)
         assert ctx.parameters_set, ctx.parameter_error_message()
         keygen = KeyGenerator(ctx)
         rk = keygen.create_relin_keys() if ctx.using_keyswitching else None
@@ -254,8 +261,13 @@ def bench_ntt(n, chain_lo, chain_hi):
     with jax.default_device(cpu):
         parms = EncryptionParameters(SchemeType.CKKS)
         parms.set_poly_modulus_degree(n)
-        parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
-        ctx = SealContext(parms, True, SecurityLevel.TC128)
+        if n <= 32768:
+            parms.set_coeff_modulus(CoeffModulus.bfv_default(n))
+            sec = SecurityLevel.TC128
+        else:
+            parms.set_coeff_modulus(CoeffModulus.create(n, [60, 40, 40, 60]))
+            sec = SecurityLevel.NONE
+        ctx = SealContext(parms, True, sec)
         cd = ctx.first_context_data()
         t = cd.limb_tables()
         k = len(cd.coeff_modulus_values)

@@ -577,7 +577,11 @@ class Evaluator:
         kc = (jnp.stack([kc0[0], kc1[0]]), jnp.stack([kc0[1], kc1[1]]))
 
         n = cd.parms.poly_modulus_degree
-        if NTT._dispatch_mxu(sel_tables, n) == "pallas":
+        from .ops.pallas_switch_key import fits_fused
+
+        if NTT._dispatch_mxu(sel_tables, n) == "pallas" and fits_fused(
+            NTT._mxu_tables_for(sel_tables)
+        ):
             # Fused decompose+NTT+contract kernel with the reference's
             # i == j diagonal fast path (ops/pallas_switch_key.py).
             from .ops.pallas_switch_key import switch_key_contract

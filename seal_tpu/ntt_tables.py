@@ -389,6 +389,13 @@ def build_mxu_tables(
     if n2 is None:
         # favor the larger factor on the contiguous axis, capped at 128
         n2 = min(128, 1 << ((log_n + 1) // 2))
+        # ... but keep n1 <= 512: the staged Pallas kernel holds one limb's
+        # (P, n1, n1) int8 constant planes in VMEM, and n1=1024 (9 planes
+        # ~ 9.4 MB) plus data/twiddle tiles exceeds the 16 MB scoped-VMEM
+        # budget at n=131072.  n1=512/n2=256 compiles and keeps both
+        # stages MXU-shaped.
+        while n // n2 > 512:
+            n2 *= 2
     n1 = n // n2
     if n1 < 2 or n2 < 2:
         raise ValueError("mxu ntt needs n1, n2 >= 2")

@@ -47,6 +47,13 @@ U64 = U.U64
 
 # VMEM budget guard: same fused-kernel envelope as pallas_mxu_ntt.
 _FUSED_MAX_N1 = 256
+
+
+def fits_fused(t: "MXUTables") -> bool:
+    """Whether the fused kernel's per-step VMEM footprint fits the 16 MB
+    scoped budget: at n1=512 (n >= 65536) the constant planes + tiles +
+    u128 scratch reach ~24 MB, so those sizes take the staged path."""
+    return t.n1 <= _FUSED_MAX_N1
 # Lazy-accumulation window: 64 summands of q^2 stay below 2^128 for
 # q < 2^61 (the defines.h:66 rationale).
 _ACC_WINDOW = 64

@@ -7,6 +7,8 @@ anywhere else; reference treats N<=131072 as first-class, defines.h:52)
 on the 8-device CPU mesh.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -20,15 +22,21 @@ from seal_tpu.ops import u64 as U
 from seal_tpu.parallel.dist_ntt import dist_ntt_forward, dist_ntt_inverse
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=[65536, 131072])
+def setup(request):
+    """65536 and the reference's max degree 131072 (defines.h:52).
+
+    The 131072 runs cost ~2.5 min each on a 2-core CPU mesh, so they are
+    gated behind SEAL_TPU_LARGE_N (the CI large-n job sets it)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    n = 65536
+    n = request.param
+    if n > 65536 and not os.environ.get("SEAL_TPU_LARGE_N"):
+        pytest.skip("set SEAL_TPU_LARGE_N=1 for the 131072 distributed NTT")
     mods = [Modulus(p) for p in numth.get_primes(2 * n, 50, 2)]
     t = build_mxu_tables(int(n).bit_length() - 1, mods)
     mesh = Mesh(np.array(jax.devices()[:8]), ("limb",))
-    rng = np.random.default_rng(65536)
+    rng = np.random.default_rng(n)
     qv = np.array([m.value for m in mods], dtype=np.uint64)
     x = rng.integers(0, qv[:, None], (len(mods), n), dtype=np.uint64)
     return n, mods, t, mesh, U.from_np_u64(x), x

@@ -11,6 +11,8 @@ Runtime is kept sane with session-scoped contexts and one round-trip per
 (scheme, size) rather than the full op battery (which runs at small N).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -205,3 +207,46 @@ def test_131072_context_validates():
     parms.set_coeff_modulus(CoeffModulus.create(131072, [50, 40, 50]))
     ctx = SealContext(parms, False, SecurityLevel.NONE)
     assert ctx.parameters_set, ctx.parameter_error_message()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SEAL_TPU_LARGE_N"),
+    reason="~6 min of 131072-degree NTTs on a 2-core CPU; set "
+    "SEAL_TPU_LARGE_N=1 (the CI large-n job does) or run on TPU",
+)
+def test_ckks_131072_full_roundtrip():
+    """Full pipeline at the reference's MAX degree (defines.h:52):
+    keygen (relin + Galois) -> encrypt -> multiply -> relinearize ->
+    rotate -> decrypt -> decode.  This is where VMEM pressure is real on
+    TPU: the staged Pallas NTT needs the balanced n1=512/n2=256
+    factorization (ntt_tables.build_mxu_tables) and key-switch takes the
+    staged path (pallas_switch_key.fits_fused).  k=2 ([60, 60]) keeps the
+    CPU-mesh CI job tractable while still exercising key-switching; the
+    richer k=4 chain runs on real TPU hardware in benchmarks/run_all.py
+    (BENCH_DETAIL ckks_131072) and passed there end-to-end."""
+    from seal_tpu.ckks_encoder import CKKSEncoder
+
+    n = 131072
+    parms = EncryptionParameters(SchemeType.CKKS)
+    parms.set_poly_modulus_degree(n)
+    parms.set_coeff_modulus(CoeffModulus.create(n, [60, 40, 60]))
+    ctx = SealContext(parms, True, SecurityLevel.NONE)
+    assert ctx.parameters_set, ctx.parameter_error_message()
+    kg = KeyGenerator(ctx)
+    rlk = kg.create_relin_keys()
+    gk = kg.create_galois_keys_from_steps([1])
+    enc = Encryptor(ctx, secret_key=kg.secret_key)
+    dec = Decryptor(ctx, kg.secret_key)
+    ev = Evaluator(ctx)
+    ce = CKKSEncoder(ctx)
+    # scale 2^40: key-switch noise at this degree is ~n*sigma ~ 2^20
+    # coefficients, so a 2^25-type scale would drown the rotation output
+    scale = 2.0 ** 40
+    vals = np.linspace(0.1, 1.0, n // 2)
+    ct = enc.encrypt_symmetric(ce.encode(vals, scale))
+    sq = ev.rescale_to_next(ev.relinearize(ev.multiply(ct, ct), rlk))
+    got = np.real(ce.decode(dec.decrypt(sq)))
+    assert np.max(np.abs(got - vals * vals)) < 1e-3
+    rot = ev.rotate_vector(ct, 1, gk)
+    gotr = np.real(ce.decode(dec.decrypt(rot)))
+    assert np.max(np.abs(gotr[:-1] - vals[1:])) < 1e-4
