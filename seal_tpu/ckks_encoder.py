@@ -66,6 +66,29 @@ class CKKSEncoder:
             self.root_powers[i] = root(numth.reverse_bits(i, logn))
             self.inv_root_powers[i] = root(numth.reverse_bits(i - 1, logn) + 1).conjugate()
 
+        # device slot-FFT stage tables (double-float), built lazily
+        self._inv_stage_roots = None
+        self._fwd_stage_roots = None
+
+    def _device_fft_enabled(self) -> bool:
+        import os
+
+        return os.environ.get("SEAL_TPU_DEVICE_FFT", "1") not in ("", "0")
+
+    def _inv_stages(self):
+        if self._inv_stage_roots is None:
+            from .ops import slot_fft as SF
+
+            self._inv_stage_roots = SF.inv_fft_stage_roots(self.inv_root_powers, self.n)
+        return self._inv_stage_roots
+
+    def _fwd_stages(self):
+        if self._fwd_stage_roots is None:
+            from .ops import slot_fft as SF
+
+            self._fwd_stage_roots = SF.fwd_fft_stage_roots(self.root_powers, self.n)
+        return self._fwd_stage_roots
+
     # -- FFT butterflies (complex analog of dwthandler.h) ------------------
     def _fft_from_rev(self, values: np.ndarray, fix: float) -> np.ndarray:
         """Inverse FFT: bit-reversed input -> normal order, scaled by fix."""
@@ -144,6 +167,16 @@ class CKKSEncoder:
         conj_values[self.index_map[self.slots : self.slots + len(values)]] = np.conj(values)
 
         fix = scale / n
+        if self._device_fft_enabled():
+            # |coeff| <= scale * max|v| (the iFFT's fused 1/n cancels the
+            # n-term sum), so when that bound clears both thresholds the
+            # device path needs no max-coefficient fetch at all
+            bound = scale * float(np.max(np.abs(conj_values)) if len(values) else 0.0) * 1.000001
+            out = self._encode_vector_device(conj_values, fix, cd, parms_id, scale, bound)
+            if out is not None:
+                return out
+            # fell through: coefficients beyond the df-exact integer range
+            # (~2^46) — take the host wide tier below
         coeffs = self._fft_from_rev(conj_values, fix).real
 
         max_coeff = float(np.max(np.abs(coeffs))) if n else 0.0
@@ -217,6 +250,71 @@ class CKKSEncoder:
         p.coeff_data = np.zeros(0, dtype=np.uint64)
         return p
 
+    def _encode_vector_device(self, conj_values, fix, cd, parms_id, scale, bound):
+        """ONE-dispatch encode: device double-float inverse FFT (ops/
+        slot_fft.py) + round-half-away + per-limb reduction + forward NTT.
+        Only the (n,) complex input crosses the link; when the host-side
+        coefficient bound already clears the validity and wide-tier
+        thresholds the dispatch stays fully asynchronous (no fetch), else
+        one scalar (the true max |coeff|) comes back for the exact checks.
+
+        Returns None when max |coeff| exceeds the df-exact integer range —
+        the caller then runs the host wide tier (ckks.h:593-667 analog).
+        """
+        import math as _math
+
+        from .context import jit_cached
+        from .ops import slot_fft as SF
+
+        qv = cd.coeff_modulus_values
+        stages = self._inv_stages()
+        n = self.n
+
+        def builder_fft(c4, fix_hi, fix_lo):
+            re_h, re_l, _, _ = SF.fft_from_rev(c4, stages, (fix_hi, fix_lo), n)
+            return re_h, re_l
+
+        def builder_tail(re_h, re_l):
+            rns, max_abs = SF.df_round_to_rns((re_h, re_l), qv, cd.limb_tables())
+            ntt = NTT.ntt_forward(rns, cd.limb_tables())
+            return ntt, max_abs
+
+        c4 = tuple(np.ascontiguousarray(a) for a in SF.split_c128(conj_values))
+        fix_hi = np.float32(fix)
+        fix_lo = np.float32(fix - np.float64(fix_hi))
+        if NTT._effective_platform() == "tpu":
+            # fully fused: ONE dispatch (FFT + round + reduce + NTT)
+            def builder(c4, fh, fl):
+                return builder_tail(*builder_fft(c4, fh, fl))
+
+            fn = jit_cached(cd, ("ckks_encode_devfft", cd.parms_id), builder)
+            ntt_data, max_abs_dev = fn(c4, fix_hi, fix_lo)
+        else:
+            # materialize between the FFT and the NTT tail on CPU — same
+            # XLA:CPU consumer-recompute fusion pathology as decode
+            f1 = jit_cached(cd, ("ckks_encode_devfft_fft", cd.parms_id), builder_fft)
+            f2 = jit_cached(cd, ("ckks_encode_devfft_tail", cd.parms_id), builder_tail)
+            ntt_data, max_abs_dev = f2(*f1(c4, fix_hi, fix_lo))
+        bound_bits = max(int(_math.ceil(_math.log2(max(bound, 1.0)))), 0) + 1
+        if bound < 2.0 ** 46 and bound_bits < cd.total_coeff_modulus_bit_count:
+            # bound clears both thresholds -> no device fetch, stay async
+            pass
+        else:
+            max_coeff = float(max_abs_dev)
+            if not np.isfinite(max_coeff):
+                raise ValueError("encoded values are too large")
+            max_coeff_bits = max(int(_math.ceil(_math.log2(max(max_coeff, 1.0)))), 0) + 1
+            if max_coeff_bits >= cd.total_coeff_modulus_bit_count:
+                raise ValueError("encoded values are too large")
+            if max_coeff >= 2.0 ** 46:
+                return None  # host wide tier preserves full precision
+        p = Plaintext()
+        p.parms_id = parms_id
+        p.scale = scale
+        p.rns_data = ntt_data
+        p.coeff_data = np.zeros(0, dtype=np.uint64)
+        return p
+
     def _encode_scalar(self, value: complex, parms_id: ParmsId, scale: float) -> Plaintext:
         """Scalar fast path: fills all slots without FFT (ckks.cpp:75-230).
 
@@ -281,6 +379,59 @@ class CKKSEncoder:
         import os
 
         from .context import jit_cached
+
+        if (
+            self._device_fft_enabled()
+            and os.environ.get("SEAL_TPU_DEVICE_COMPOSE", "1") not in ("", "0")
+        ):
+            # Fully-fused decode: iNTT + CRT compose + centered float +
+            # 1/scale + forward slot FFT + slot gather in ONE dispatch
+            # (double-float FFT, ops/slot_fft.py); the only fetch is the
+            # (4, slots) f32 result — 8 B per slot value.
+            from .ops import crt_compose as CC
+            from .ops import slot_fft as SF
+
+            stages = self._fwd_stages()
+            n = self.n
+
+            def builder_parts(d, inv_hi, inv_lo):
+                from .ops.rns import _cshoup
+
+                x = NTT.ntt_inverse(d, cd.limb_tables())
+                op, qt = _cshoup(cd.base_q.inv_punctured, cd.coeff_modulus_values)
+                scaled = U.mul_mod_shoup(x, op, qt, cd.limb_tables().q)
+                mant, exp, neg = CC.centered_float_parts(scaled, cd.base_q)
+                return SF.parts_to_df(mant, exp, neg, (inv_hi, inv_lo))
+
+            def builder_fft(vh, vl):
+                import jax.numpy as jnp
+
+                z = jnp.zeros_like(vh)
+                return jnp.stack(SF.fft_to_rev((vh, vl, z, z), stages, n))
+
+            inv = 1.0 / plain.scale
+            inv_hi = np.float32(inv)
+            inv_lo = np.float32(inv - np.float64(inv_hi))
+            if NTT._effective_platform() == "tpu":
+                # fully fused: ONE dispatch, one (4, n) f32 fetch
+                def builder_full(d, ih, il):
+                    return builder_fft(*builder_parts(d, ih, il))
+
+                fn = jit_cached(cd, ("ckks_decode_devfft", cd.parms_id), builder_full)
+                packed = np.asarray(fn(plain.rns_data, inv_hi, inv_lo))
+            else:
+                # XLA:CPU's fusion re-computes the whole compose subgraph
+                # inside every FFT butterfly consumer (exponential in the
+                # stage count — an empirically-confirmed compiler
+                # pathology), so the CPU path materializes the df values
+                # between two executables.  TPU fuses the whole thing fine.
+                f1 = jit_cached(cd, ("ckks_decode_devfft_parts", cd.parms_id), builder_parts)
+                f2 = jit_cached(cd, ("ckks_decode_devfft_fft", cd.parms_id), builder_fft)
+                packed = np.asarray(f2(*f1(plain.rns_data, inv_hi, inv_lo)))
+            from .ops.slot_fft import combine_c128
+
+            slots_out = combine_c128(packed[0], packed[1], packed[2], packed[3])
+            return slots_out[self.index_map[: self.slots]]
 
         if os.environ.get("SEAL_TPU_DEVICE_COMPOSE", "1") not in ("", "0"):
             # Default path: iNTT + CRT scaling + compose + center + float

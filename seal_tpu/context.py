@@ -116,6 +116,7 @@ class GaloisTool:
         self.n = 1 << log_n
         self._ntt_tables: Dict[int, np.ndarray] = {}
         self._coeff_tables: Dict[int, tuple] = {}
+        self._ntt_structured: Dict[int, tuple] = {}
 
     def get_elt_from_step(self, step: int) -> int:
         from .ops.poly import get_elt_from_step
@@ -140,6 +141,17 @@ class GaloisTool:
 
             self._ntt_tables[galois_elt] = make_galois_table_ntt(self.n, galois_elt)
         return self._ntt_tables[galois_elt]
+
+    def ntt_table_structured(self, galois_elt: int):
+        """(row_map, col_onehot) factoring of the NTT permutation for the
+        MXU path (ops/poly.py:galois_ntt_structure), or None for tiny n."""
+        if galois_elt not in self._ntt_structured:
+            from .ops.poly import galois_ntt_structure
+
+            self._ntt_structured[galois_elt] = galois_ntt_structure(
+                self.ntt_table(galois_elt)
+            )
+        return self._ntt_structured[galois_elt]
 
     def coeff_table(self, galois_elt: int) -> tuple:
         if galois_elt not in self._coeff_tables:

@@ -1084,17 +1084,40 @@ class Evaluator:
 
             fn = self._jit(("galois_coeff_ks", ct.parms_id), body)
         else:
-            perm_args = (jnp.asarray(tool.ntt_table(galois_elt)),)
+            structured = (
+                tool.ntt_table_structured(galois_elt)
+                if NTT._effective_platform() == "tpu"
+                else None
+            )
+            if structured is not None:
+                # MXU permutation (row-take + one-hot int8 contraction):
+                # XLA's lane gather runs ~10x below HBM SoL on TPU
+                row_map, col_oh = structured
+                # both pieces enter as traced args: ONE compilation covers
+                # every Galois element at this level
+                perm_args = (jnp.asarray(row_map), jnp.asarray(col_oh))
 
-            def body(d, tab, kc0, kc1):
-                c0 = P.apply_galois_ntt((d[0][0], d[1][0]), tab)
-                c1 = P.apply_galois_ntt((d[0][1], d[1][1]), tab)
-                zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
-                return self._switch_key_body(
-                    cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1
-                )
+                def body(d, rm, oh, kc0, kc1):
+                    c0 = P.apply_galois_ntt_mxu((d[0][0], d[1][0]), rm, oh)
+                    c1 = P.apply_galois_ntt_mxu((d[0][1], d[1][1]), rm, oh)
+                    zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+                    return self._switch_key_body(
+                        cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1
+                    )
 
-            fn = self._jit(("galois_ntt_ks", ct.parms_id), body)
+                fn = self._jit(("galois_ntt_ks_mxu", ct.parms_id), body)
+            else:
+                perm_args = (jnp.asarray(tool.ntt_table(galois_elt)),)
+
+                def body(d, tab, kc0, kc1):
+                    c0 = P.apply_galois_ntt((d[0][0], d[1][0]), tab)
+                    c1 = P.apply_galois_ntt((d[0][1], d[1][1]), tab)
+                    zeros = (jnp.zeros_like(c1[0]), jnp.zeros_like(c1[1]))
+                    return self._switch_key_body(
+                        cd, 2, _stack_polys([c0, zeros]), c1, kc0, kc1
+                    )
+
+                fn = self._jit(("galois_ntt_ks", ct.parms_id), body)
 
         out = ct.copy()
         out.data = fn(ct.data, *perm_args, key["c0"], key["c1"])

@@ -301,3 +301,28 @@ def test_ckks_rotation_survives_rescale(ckks):
     rot = ckks["ev"].rotate_vector(prod, 2, gk)
     got = np.real(np.asarray(enc.decode(ckks["dec"].decrypt(rot))))
     assert np.allclose(got, np.roll(vals * vals, -2), atol=1e-4)
+
+
+def test_galois_ntt_mxu_structure_and_equivalence():
+    """The MXU permutation formulation (row-take + one-hot int8
+    contraction, ops/poly.py:apply_galois_ntt_mxu) is bit-identical to the
+    gather for every generator power and the conjugation element."""
+    import jax.numpy as jnp
+
+    from seal_tpu.ops import poly as P
+    from seal_tpu.ops import u64 as U
+
+    rng = np.random.default_rng(11)
+    for n in (256, 4096):
+        elts = [P.get_elt_from_step(s, n) for s in (1, 2, 5, -1)] + [2 * n - 1]
+        for elt in elts:
+            tab = P.make_galois_table_ntt(n, elt)
+            st = P.galois_ntt_structure(tab)
+            assert st is not None, (n, elt)
+            x = rng.integers(0, 1 << 61, (2, 3, n), dtype=np.uint64)
+            xd = U.from_np_u64(x)
+            want = U.to_np_u64(P.apply_galois_ntt(xd, jnp.asarray(tab)))
+            got = U.to_np_u64(
+                P.apply_galois_ntt_mxu(xd, jnp.asarray(st[0]), jnp.asarray(st[1]))
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n} elt={elt}")
