@@ -40,10 +40,10 @@ def batch_encoder_demo():
     p7 = be.encode([7] * n)
     sq = ev.square(ev.add_plain(ct, p7))
     got = be.decode(dec.decrypt(sq))
-    assert got[:4] == [(v + 7) ** 2 for v in mat[:4]]
+    assert list(got[:4]) == [(v + 7) ** 2 for v in mat[:4]]
     # signed variant
     signed = be.encode_int64([-3, -2, -1, 0, 1, 2, 3])
-    assert be.decode_int64(signed)[:7] == [-3, -2, -1, 0, 1, 2, 3]
+    assert list(be.decode_int64(signed)[:7]) == [-3, -2, -1, 0, 1, 2, 3]
     print("BatchEncoder OK")
 
 

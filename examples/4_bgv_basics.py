@@ -49,7 +49,7 @@ def main():
     t = context.first_context_data().parms.plain_modulus.value
     got = encoder.decode(decryptor.decrypt(x4))
     want = [pow(v, 4, t) for v in vals]
-    assert got == want
+    assert list(got) == want
     print("OK")
 
 

@@ -153,6 +153,12 @@ def switch_key_contract(t_c: U64, t_n, key: U64, t: MXUTables,
     lo, hi = t_c
     D, n = lo.shape
     n1, n2 = t.n1, t.n2
+    # At levels below the top the key carries more decomposition rows than
+    # the ciphertext has limbs (RelinearizeLowerLevel); only the first D
+    # participate (reference evaluator.cpp:2663 loops J over the decomp
+    # modulus size, not the key's row count).
+    if key[0].shape[1] > D:
+        key = (key[0][:, :D], key[1][:, :D])
     Rn = key[0].shape[2]
     P = t.nplanes
     db, scal = _host_consts(t, Rn)

@@ -132,3 +132,61 @@ def test_no_diag_path_bit_identical():
     prod_k = switch_key_contract(t_target, None, kc, mxu, need_reduce, interpret=True)
     assert np.array_equal(np.asarray(prod_ref[0]), np.asarray(prod_k[0]))
     assert np.array_equal(np.asarray(prod_ref[1]), np.asarray(prod_k[1]))
+
+
+def test_lower_level_trims_key_rows():
+    """Relinearize below the top level: the key carries MORE decomposition
+    rows than the ciphertext has limbs (RelinearizeLowerLevel); the kernel
+    must use only the first D (reference evaluator.cpp:2663).  Round-5
+    regression: the fused kernel reshaped the full key tensor and crashed."""
+    ctx, rk = _setup(SchemeType.CKKS, [40, 30, 30, 40])
+    cd = ctx.first_context_data().next_context_data
+    key_cd = ctx.key_context_data()
+    key_tables = key_cd.limb_tables()
+    D = len(cd.parms.coeff_modulus)
+    k_key = len(key_cd.coeff_modulus_values)
+    sel_idx = list(range(D)) + [k_key - 1]
+    Rn = D + 1
+    sel_tables = take_limbs(key_tables, sel_idx)
+    key = rk.key(2)
+
+    def sel(keyc):
+        lo, hi = keyc
+        return (
+            jnp.concatenate([lo[:, :D, :], lo[:, k_key - 1 :, :]], axis=1),
+            jnp.concatenate([hi[:, :D, :], hi[:, k_key - 1 :, :]], axis=1),
+        )
+
+    s0, s1 = sel(key["c0"]), sel(key["c1"])
+    kc = (jnp.stack([s0[0], s1[0]]), jnp.stack([s0[1], s1[1]]))
+    assert kc[0].shape[1] > D  # the key really has extra rows here
+
+    rng = np.random.default_rng(13)
+    qv = np.array(cd.coeff_modulus_values, dtype=np.uint64)
+    n = cd.parms.poly_modulus_degree
+    tgt = rng.integers(0, qv[:, None], (len(qv), n)).astype(np.uint64)
+    target = (
+        jnp.asarray((tgt & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((tgt >> 32).astype(np.uint32)),
+    )
+    t_current = cd.limb_tables()
+    t_target = NTT.ntt_inverse(target, t_current)
+    tt = (t_target[0][:, None, :], t_target[1][:, None, :])
+    reduced = U.barrett_reduce_64(tt, sel_tables.q, sel_tables.ratio_hi)
+    sel_vals = [key_cd.coeff_modulus_values[i] for i in sel_idx]
+    need_reduce = np.array(
+        [[qj > qi for qi in sel_vals] for qj in cd.coeff_modulus_values]
+    )
+    t_op = U.select64(jnp.asarray(need_reduce[:, :, None]), reduced, tt)
+    t_op = NTT.ntt_forward(t_op, sel_tables, lazy=True)
+    acc = U.zero128((2, Rn, n))
+    for j in range(D):
+        x = (t_op[0][j], t_op[1][j])
+        y = (kc[0][:, j], kc[1][:, j])
+        acc = U.add128(acc, U.mul64_wide(x, y))
+    prod_ref = U.barrett_reduce_128(acc, sel_tables.q, sel_tables.ratio_lo, sel_tables.ratio_hi)
+
+    mxu = NTT._mxu_tables_for(sel_tables)
+    prod_k = switch_key_contract(t_target, target, kc, mxu, need_reduce, interpret=True)
+    assert np.array_equal(np.asarray(prod_ref[0]), np.asarray(prod_k[0]))
+    assert np.array_equal(np.asarray(prod_ref[1]), np.asarray(prod_k[1]))
